@@ -1,0 +1,228 @@
+"""CGLB: lower bound on the GP log marginal likelihood via preconditioned CG.
+
+Implements the objective of Artemev, Burt & van der Wilk (ICML 2021) as pure,
+jittable functions (reference semantics: cglb/backend/tensorflow/models.py:31-350,
+cglb/backend/pytorch/models.py:104-286):
+
+    bound = -0.5 N D log 2pi                                 (constant)
+          + logdet_bound                                     (Jensen / NM2 / N2M)
+          - ub                                               (CG quad-form bound)
+
+    quad:  v* ~= (K + sigma^2 I)^-1 err via warm-started preconditioned CG,
+           lb = sum v (r + 0.5 K v),  ub = lb + 0.5 r^T P r,
+           with v detached (implicit treatment: gradients only flow through the
+           differentiable re-assembly, formalizing tf.stop_gradient /
+           torch.no_grad in the reference).
+
+Functional state: the CG warm start ``v0`` ([D, N]) is an explicit input/output
+instead of a mutable model variable (reference mutates self.v0 at models.py:172);
+training loops thread it through their carry.  This keeps every feval a pure
+function — XLA compiles it once and reuses it across all L-BFGS evaluations.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..struct import pytree_dataclass, static_field
+from ..ops import kernels as _k
+from ..ops import cg as _cg
+from ..ops import operators as _op
+from ..ops import preconditioners as _pc
+from .gaussian import mean_apply, predict_log_density
+from .sgpr import SGPRParams, CommonTerms, common_terms
+
+__all__ = ["CGLBConfig", "CGLBAux", "loss", "bound", "predict_f",
+           "cglb_predict_log_density", "init_v0"]
+
+LOGDET_VARIANTS = ("jensen", "n2m", "nm2")
+
+
+@pytree_dataclass
+class CGLBConfig:
+    """Static CGLB knobs (reference defaults: tensorflow/models.py:32-56,
+    pytorch/conjugate_gradient.py:37-39, config.py:110-121)."""
+
+    max_error: float = static_field(default=1.0)
+    max_cg_iters: int = static_field(default=100)
+    restart_cg_iters: int = static_field(default=40)
+    joint_optimization: bool = static_field(default=False)
+    vzero: bool = static_field(default=False)
+    logdet_variant: str = static_field(default="jensen")
+
+    @property
+    def v_is_external(self) -> bool:
+        """True when v is not produced by CG (vzero or jointly-optimized v)."""
+        return self.joint_optimization or self.vzero
+
+
+class CGLBAux(NamedTuple):
+    v: jnp.ndarray               # [D, N] new warm start
+    cg_steps: jnp.ndarray        # int32 []
+    cg_residual_error: jnp.ndarray  # []
+
+
+def init_v0(N: int, output_dim: int = 1, dtype=None) -> jnp.ndarray:
+    from .. import config as _config
+
+    return jnp.zeros((output_dim, N), dtype=dtype or _config.default_float())
+
+
+def _logdet_bound(params: SGPRParams, ct: CommonTerms, X, Y,
+                  variant: str) -> jnp.ndarray:
+    """Upper bounds on 0.5 log|K + sigma^2 I| (negated), three variants."""
+    N, D = Y.shape
+    sigma_sq = params.noise_variance.value
+    kd = _k.kdiag(params.kernel, X)
+    # residual trace  tr(K - Q)/sigma^2  >= 0
+    trace = jnp.sum(kd) / sigma_sq - jnp.trace(ct.AAT)
+    logdiag_LB = jnp.sum(jnp.log(jnp.diagonal(ct.LB)))
+
+    if variant == "jensen":
+        # log|K+s2I| <= log|Q+s2I| + N log(1 + tr(K-Q)/(s2 N))
+        # (reference: tensorflow/models.py:77-105)
+        log_det = -D * logdiag_LB
+        log_det -= 0.5 * N * D * jnp.log(sigma_sq)
+        log_det -= 0.5 * D * N * jnp.log(1.0 + trace / N)
+        return log_det
+    if variant == "nm2":
+        # log|Q| + tr(K-Q)/sigma^2   (reference: models.py:270-308)
+        log_det_q = logdiag_LB + 0.5 * N * jnp.log(sigma_sq)
+        return -(log_det_q + 0.5 * trace)
+    if variant == "n2m":
+        # log|Q| + n log(tr(Q^-1 K)/n)  (reference: models.py:310-350); O(N^2).
+        kff_s = _k.K(params.kernel, X) + sigma_sq * jnp.eye(N, dtype=X.dtype)
+        C = jsl.solve_triangular(ct.LB, ct.A, lower=True)
+        trace_kff = jnp.trace(kff_s)
+        trace_qrest = jnp.trace((C @ kff_s) @ C.T)
+        log_trace = N * (
+            jnp.log(trace_kff - trace_qrest) - math.log(N) - jnp.log(sigma_sq)
+        )
+        log_det_q = logdiag_LB + 0.5 * N * jnp.log(sigma_sq)
+        return -(log_det_q + 0.5 * log_trace)
+    raise ValueError(f"unknown logdet variant {variant!r}")
+
+
+def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
+                     cfg: CGLBConfig, matvec=None, max_error=None
+                     ) -> Tuple[jnp.ndarray, CGLBAux]:
+    """-ub on 0.5 err^T (K+s2I)^-1 err, plus the new warm start.
+
+    reference: tensorflow/models.py:150-173.
+    """
+    sigma_sq = params.noise_variance.value
+    err = Y - mean_apply(params.mean, X)
+    err_t = err.T  # [D, N]
+    if matvec is None:
+        matvec = _op.make_dense_operator(params.kernel, X, sigma_sq)
+    P = _pc.NystromPreconditioner(A=ct.A, LB=ct.LB, sigma_sq=sigma_sq)
+
+    if cfg.v_is_external:
+        v = v0  # gradient may flow (joint optimization) or v0 is fixed zeros
+        stats = _cg.CGStats(steps=jnp.asarray(0, jnp.int32),
+                            residual_error=jnp.zeros((), dtype=X.dtype))
+    else:
+        me = cfg.max_error if max_error is None else max_error
+        v, stats = _cg.preconditioned_cg(
+            matvec, err_t, v0, P, me, cfg.max_cg_iters, cfg.restart_cg_iters
+        )
+        # preconditioned_cg already stop-gradients its result.
+
+    Kv = matvec(v)
+    r = err_t - Kv
+    _, rz = _pc.mat_vec(P, r)
+    error_bound = jnp.sum(rz)
+    lb = jnp.sum(v * (r + 0.5 * Kv))
+    ub = lb + 0.5 * error_bound
+    aux = CGLBAux(v=v, cg_steps=stats.steps, cg_residual_error=stats.residual_error)
+    return -ub, aux
+
+
+def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
+          jitter: float = None, matvec: Optional[Callable] = None
+          ) -> Tuple[jnp.ndarray, CGLBAux]:
+    """The CGLB lower bound on log p(Y|X).  Returns (bound, aux).
+
+    reference: tensorflow/models.py:175-192.
+    """
+    N, D = Y.shape
+    ct = common_terms(params, X, jitter)
+    b = -0.5 * N * D * math.log(2.0 * math.pi)
+    b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
+    quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec)
+    b += quad
+    return b, aux
+
+
+def loss(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
+         jitter: float = None, matvec: Optional[Callable] = None
+         ) -> Tuple[jnp.ndarray, CGLBAux]:
+    """Training loss = -bound; aux carries the CG warm start + stats."""
+    b, aux = bound(params, X, Y, v0, cfg, jitter, matvec)
+    return -b, aux
+
+
+def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig(),
+              cg_tolerance: Optional[float] = 1e-3, full_cov: bool = False,
+              jitter: float = None, matvec: Optional[Callable] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CGLB posterior: m(x*) = SGPR-mean-on-residual + Ks,f v.
+
+    With v = 0 this is the SGPR mean; with exact v it is the exact GP mean
+    (reference: tensorflow/models.py:194-246).  Runs a fresh CG at
+    ``cg_tolerance`` (1e-3 default; None / vzero / joint reuse v0 as-is).
+    """
+    sigma_sq = params.noise_variance.value
+    sigma = jnp.sqrt(sigma_sq)
+    err = Y - mean_apply(params.mean, X)
+    ct = common_terms(params, X, jitter)
+    Z = params.inducing_Z.value
+    if matvec is None:
+        matvec = _op.make_dense_operator(params.kernel, X, sigma_sq)
+
+    if cg_tolerance is None or cfg.v_is_external:
+        v = v0
+    else:
+        P = _pc.NystromPreconditioner(A=ct.A, LB=ct.LB, sigma_sq=sigma_sq)
+        v, _ = _cg.preconditioned_cg(
+            matvec, err.T, v0, P, cg_tolerance, cfg.max_cg_iters,
+            cfg.restart_cg_iters
+        )
+
+    Ksf = _k.K(params.kernel, Xnew, X)  # [S, N]
+    cg_mean = Ksf @ v.T  # [S, D]
+    res = err - matvec(v).T  # [N, D]
+
+    Kus = _k.K(params.kernel, Z, Xnew)
+    Ares = ct.A @ res
+    c = jsl.solve_triangular(ct.LB, Ares, lower=True) / sigma
+    tmp1 = jsl.solve_triangular(ct.L, Kus, lower=True)
+    tmp2 = jsl.solve_triangular(ct.LB, tmp1, lower=True)
+    sgpr_mean = tmp2.T @ c
+    if full_cov:
+        var = _k.K(params.kernel, Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+    else:
+        var = (
+            _k.kdiag(params.kernel, Xnew)
+            + jnp.sum(jnp.square(tmp2), axis=0)
+            - jnp.sum(jnp.square(tmp1), axis=0)
+        )
+        var = jnp.tile(var[:, None], (1, Y.shape[1]))
+    return sgpr_mean + cg_mean + mean_apply(params.mean, Xnew), var
+
+
+def cglb_predict_log_density(params: SGPRParams, X, Y, v0, Xnew, Ynew,
+                             cfg: CGLBConfig = CGLBConfig(),
+                             cg_tolerance: float = 1e-6,
+                             jitter: float = None) -> jnp.ndarray:
+    """Predictive log density at a tighter CG tolerance (1e-6; reference:
+    tensorflow/models.py:248-267)."""
+    f_mean, f_var = predict_f(
+        params, X, Y, v0, Xnew, cfg, cg_tolerance=cg_tolerance, jitter=jitter
+    )
+    return predict_log_density(f_mean, f_var, params.noise_variance.value, Ynew)

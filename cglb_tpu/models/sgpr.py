@@ -1,0 +1,227 @@
+"""SGPR: Titsias ELBO, Titsias upper bound, posterior prediction, and the SGPRN2M
+variant.
+
+First-party replacement for the GPflow SGPR internals the reference inherits
+(reference: gpflow SGPR elbo/upper_bound used as the metric bracket at
+cglb/backend/tensorflow/interface.py:398-427; the N2M-log-trace variant at
+cglb/backend/tensorflow/models.py:353-413).
+
+The "common terms" here are shared with the CGLB objective and the Nystrom
+preconditioner (reference: cglb/backend/tensorflow/models.py:58-75):
+
+    L  = chol(Kuu + jitter I)                [M, M]
+    A  = L^-1 Kuf / sigma                    [M, N]
+    B  = A A^T + I,  LB = chol(B)            [M, M]
+
+TPU notes: Kuf is [M, N] with N large; A is produced by one triangular solve
+(O(N M^2), MXU-bound).  Everything M x M is tiny and replicated; for the sharded
+path the N-axis of Kuf/A is row-sharded and AAT/Aerr become psum reductions
+(see cglb_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..struct import pytree_dataclass
+from ..transforms import Param
+from ..ops import kernels as _k
+from .gaussian import ConstantMean, mean_apply, predict_log_density
+
+__all__ = [
+    "SGPRParams",
+    "CommonTerms",
+    "common_terms",
+    "elbo",
+    "upper_bound",
+    "predict_f",
+    "sgpr_predict_log_density",
+    "elbo_n2m",
+]
+
+
+@pytree_dataclass
+class SGPRParams:
+    kernel: object
+    inducing_Z: Param  # [M, D]
+    noise_variance: Param
+    mean: ConstantMean
+
+    @staticmethod
+    def create(kernel, Z, noise_variance: float = 1.0, output_dim: int = 1,
+               dtype=None, variance_lower: float = None,
+               trainable_inducing: bool = True) -> "SGPRParams":
+        from .. import config as _config
+
+        dtype = dtype or _config.default_float()
+        lower = (
+            variance_lower
+            if variance_lower is not None
+            else _config.positive_lower_bound(dtype)
+        )
+        return SGPRParams(
+            kernel=kernel,
+            inducing_Z=Param.create(jnp.asarray(Z, dtype=dtype),
+                                    trainable=trainable_inducing),
+            noise_variance=Param.positive(
+                jnp.asarray(noise_variance, dtype=dtype), lower=lower
+            ),
+            mean=ConstantMean.create(output_dim, dtype=dtype),
+        )
+
+    @property
+    def num_inducing(self) -> int:
+        return self.inducing_Z.raw.shape[0]
+
+
+class CommonTerms(NamedTuple):
+    A: jnp.ndarray     # [M, N]  L^-1 Kuf / sigma
+    AAT: jnp.ndarray   # [M, M]
+    B: jnp.ndarray     # [M, M]  AAT + I
+    LB: jnp.ndarray    # [M, M]  chol(B)
+    L: jnp.ndarray     # [M, M]  chol(Kuu + jitter I)
+
+
+def _kuu_chol(params: SGPRParams, jitter: float):
+    Z = params.inducing_Z.value
+    M = Z.shape[0]
+    kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
+    return jnp.linalg.cholesky(kuu)
+
+
+def common_terms(params: SGPRParams, X, jitter: float = None) -> CommonTerms:
+    """Reference semantics: cglb/backend/tensorflow/models.py:58-75."""
+    from .. import config as _config
+
+    jitter = jitter if jitter is not None else _config.default_jitter()
+    Z = params.inducing_Z.value
+    M = Z.shape[0]
+    L = _kuu_chol(params, jitter)
+    kuf = _k.K(params.kernel, Z, X)  # [M, N]
+    sigma = jnp.sqrt(params.noise_variance.value)
+    A = jsl.solve_triangular(L, kuf, lower=True) / sigma
+    AAT = A @ A.T
+    B = AAT + jnp.eye(M, dtype=Z.dtype)
+    LB = jnp.linalg.cholesky(B)
+    return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
+
+
+def elbo(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
+    """Titsias (2009) collapsed ELBO, the reference's `elbo` metric."""
+    ct = common_terms(params, X, jitter)
+    err = Y - mean_apply(params.mean, X)
+    N, D = Y.shape
+    sigma_sq = params.noise_variance.value
+    sigma = jnp.sqrt(sigma_sq)
+    Aerr = ct.A @ err
+    c = jsl.solve_triangular(ct.LB, Aerr, lower=True) / sigma
+
+    bound = -0.5 * N * D * math.log(2.0 * math.pi)
+    bound -= D * jnp.sum(jnp.log(jnp.diagonal(ct.LB)))
+    bound -= 0.5 * N * D * jnp.log(sigma_sq)
+    bound -= 0.5 * jnp.sum(jnp.square(err)) / sigma_sq
+    bound += 0.5 * jnp.sum(jnp.square(c))
+    # trace correction: -0.5 D (sum kdiag / sigma^2 - tr(AAT))
+    kd = _k.kdiag(params.kernel, X)
+    bound -= 0.5 * D * (jnp.sum(kd) / sigma_sq - jnp.trace(ct.AAT))
+    return bound
+
+
+def upper_bound(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
+    """Titsias trace upper bound on the LML (first-party equivalent of gpflow
+    SGPR.upper_bound, consumed by the reference as the `titsias_upper_bound`
+    metric at cglb/backend/tensorflow/interface.py:404-405, 424-425)."""
+    from .. import config as _config
+
+    jitter = jitter if jitter is not None else _config.default_jitter()
+    Z = params.inducing_Z.value
+    M = Z.shape[0]
+    N = X.shape[0]
+    sigma_sq = params.noise_variance.value
+    eye_m = jnp.eye(M, dtype=Z.dtype)
+
+    L = _kuu_chol(params, jitter)
+    kuf = _k.K(params.kernel, Z, X)
+    A0 = jsl.solve_triangular(L, kuf, lower=True)  # no sigma scaling here
+    AAT0 = A0 @ A0.T
+    LB = jnp.linalg.cholesky(eye_m + AAT0 / sigma_sq)
+
+    # Trace slack: c = tr(Kff) - tr(Qff) >= 0 inflates the noise.
+    cslack = jnp.sum(_k.kdiag(params.kernel, X)) - jnp.trace(AAT0)
+    corrected_noise = sigma_sq + cslack
+
+    const = -0.5 * N * jnp.log(2.0 * math.pi * sigma_sq)
+    logdet = -jnp.sum(jnp.log(jnp.diagonal(LB)))
+
+    err = Y - mean_apply(params.mean, X)
+    LC = jnp.linalg.cholesky(eye_m + AAT0 / corrected_noise)
+    v = jsl.solve_triangular(LC, (A0 @ err) / corrected_noise, lower=True)
+    quad = -0.5 * jnp.sum(jnp.square(err)) / corrected_noise + 0.5 * jnp.sum(
+        jnp.square(v)
+    )
+    return const + logdet + quad
+
+
+def predict_f(params: SGPRParams, X, Y, Xnew, full_cov: bool = False,
+              jitter: float = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SGPR posterior at Xnew (the q(f*) of the collapsed bound)."""
+    ct = common_terms(params, X, jitter)
+    err = Y - mean_apply(params.mean, X)
+    sigma = jnp.sqrt(params.noise_variance.value)
+    Z = params.inducing_Z.value
+
+    Kus = _k.K(params.kernel, Z, Xnew)  # [M, S]
+    Aerr = ct.A @ err
+    c = jsl.solve_triangular(ct.LB, Aerr, lower=True) / sigma
+    tmp1 = jsl.solve_triangular(ct.L, Kus, lower=True)
+    tmp2 = jsl.solve_triangular(ct.LB, tmp1, lower=True)
+    f_mean = tmp2.T @ c + mean_apply(params.mean, Xnew)
+    if full_cov:
+        var = _k.K(params.kernel, Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+    else:
+        var = (
+            _k.kdiag(params.kernel, Xnew)
+            + jnp.sum(jnp.square(tmp2), axis=0)
+            - jnp.sum(jnp.square(tmp1), axis=0)
+        )
+        var = jnp.tile(var[:, None], (1, Y.shape[1]))
+    return f_mean, var
+
+
+def sgpr_predict_log_density(params: SGPRParams, X, Y, Xnew, Ynew,
+                             jitter: float = None) -> jnp.ndarray:
+    f_mean, f_var = predict_f(params, X, Y, Xnew, jitter=jitter)
+    return predict_log_density(f_mean, f_var, params.noise_variance.value, Ynew)
+
+
+def elbo_n2m(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
+    """SGPRN2M: the SGPR bound with the trace term replaced by the N^2M log-trace
+    term  -0.5 n log(tr(Q^-1 K)/n)  (reference: cglb/backend/tensorflow/
+    models.py:353-413).  Materializes Kff: O(N^2) memory, ablation-only."""
+    ct = common_terms(params, X, jitter)
+    err = Y - mean_apply(params.mean, X)
+    N, D = Y.shape
+    sigma_sq = params.noise_variance.value
+    sigma = jnp.sqrt(sigma_sq)
+    Aerr = ct.A @ err
+    c = jsl.solve_triangular(ct.LB, Aerr, lower=True) / sigma
+
+    bound = -0.5 * N * D * math.log(2.0 * math.pi)
+    bound -= D * jnp.sum(jnp.log(jnp.diagonal(ct.LB)))
+    bound -= 0.5 * N * D * jnp.log(sigma_sq)
+    bound -= 0.5 * jnp.sum(jnp.square(err)) / sigma_sq
+    bound += 0.5 * jnp.sum(jnp.square(c))
+
+    kff_s = _k.K(params.kernel, X) + sigma_sq * jnp.eye(N, dtype=X.dtype)
+    C = jsl.solve_triangular(ct.LB, ct.A, lower=True)
+    trace_kff = jnp.trace(kff_s)
+    trace_qrest = jnp.trace((C @ kff_s) @ C.T)
+    log_trace = N * (
+        jnp.log(trace_kff - trace_qrest) - math.log(N) - jnp.log(sigma_sq)
+    )
+    bound -= 0.5 * log_trace
+    return bound

@@ -1,0 +1,107 @@
+"""Preconditioned conjugate gradients under jit.
+
+The reference runs CG two ways: a tf.while_loop compiled by XLA (cglb/backend/
+tensorflow/models.py:107-148) and a host-side Python loop over KeOps matvecs with a
+cuda-sync per iteration (cglb/backend/pytorch/conjugate_gradient.py:41-86).  The
+TPU-native design is the former, generalized: ``jax.lax.while_loop`` with a static
+state pytree, a caller-supplied matvec (dense XLA, Pallas streaming, or shard_map
+row-sharded), dynamic stopping on the preconditioner-norm error, and periodic
+residual restarts.
+
+Semantics (matching the reference exactly for B=1):
+- stop when  0.5 * sum(rz) <= max_error  or  i >= max_iters
+- every `restart_iters` steps recompute r = b - v K from scratch (drift control)
+- the returned solution carries NO gradient paths; callers wrap in stop_gradient
+  (the bound is re-assembled differentiably from the detached v, formalizing
+  tf.stop_gradient at models.py:145 / torch.no_grad() at pytorch/models.py:262).
+
+Everything is shape-static: v, r, p are [B, N]; rz is [B]; iteration count is a
+traced scalar — no retracing across L-BFGS fevals.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import preconditioners as _pc
+
+__all__ = ["CGStats", "preconditioned_cg"]
+
+MatVec = Callable[[jnp.ndarray], jnp.ndarray]  # [B, N] -> [B, N]
+
+
+class CGStats(NamedTuple):
+    steps: jnp.ndarray           # int32 []
+    residual_error: jnp.ndarray  # []  final 0.5 * sum(rz)
+
+
+class _CGState(NamedTuple):
+    i: jnp.ndarray
+    v: jnp.ndarray
+    r: jnp.ndarray
+    p: jnp.ndarray
+    rz: jnp.ndarray
+
+
+def preconditioned_cg(
+    matvec: MatVec,
+    b: jnp.ndarray,
+    v0: jnp.ndarray,
+    precond,
+    max_error,
+    max_iters: int,
+    restart_iters: int = 40,
+) -> Tuple[jnp.ndarray, CGStats]:
+    """Solve v K = b (row-vector convention, K symmetric) approximately.
+
+    Args:
+        matvec: computes p -> p K for row-stacked vectors p of shape [B, N].
+        b: right-hand side [B, N].
+        v0: warm-start solution [B, N].
+        precond: preconditioner pytree (see ops/preconditioners.py).
+        max_error: stop when 0.5 * r^T P r < max_error (traced or static scalar).
+        max_iters: maximum CG iterations (static).
+        restart_iters: recompute the residual from scratch every this many steps.
+
+    Returns:
+        (v, CGStats).  No gradients flow out of this function's loop; the caller
+        is expected to stop_gradient the result (done by models/cglb.py).
+    """
+    max_error = jnp.asarray(max_error, dtype=b.dtype)
+
+    def total_err(rz):
+        return 0.5 * jnp.sum(rz)
+
+    r0 = b - matvec(v0)
+    z0, rz0 = _pc.mat_vec(precond, r0)
+    state0 = _CGState(i=jnp.asarray(0, jnp.int32), v=v0, r=r0, p=z0, rz=rz0)
+
+    def cond_fn(s: _CGState):
+        return jnp.logical_and(total_err(s.rz) > max_error, s.i < max_iters)
+
+    def body_fn(s: _CGState):
+        Ap = matvec(s.p)
+        denom = jnp.sum(s.p * Ap, axis=-1)  # [B]
+        gamma = s.rz / denom  # [B]
+        v = s.v + gamma[:, None] * s.p
+        restart = (s.i % restart_iters) == (restart_iters - 1)
+        r = jax.lax.cond(
+            restart,
+            lambda: b - matvec(v),
+            lambda: s.r - gamma[:, None] * Ap,
+        )
+        z, new_rz = _pc.mat_vec(precond, r)
+        p = jax.lax.cond(
+            restart,
+            lambda: z,
+            lambda: z + (new_rz / s.rz)[:, None] * s.p,
+        )
+        return _CGState(i=s.i + 1, v=v, r=r, p=p, rz=new_rz)
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state0)
+    final = jax.tree_util.tree_map(jax.lax.stop_gradient, final)
+    stats = CGStats(steps=final.i, residual_error=total_err(final.rz))
+    return final.v, stats

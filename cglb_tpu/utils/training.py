@@ -1,0 +1,207 @@
+"""Training loops: scipy L-BFGS-B bridge, pure-JAX L-BFGS, and Adam.
+
+Three optimizers, mirroring the reference's surface:
+
+- ``scipy``: host scipy.optimize L-BFGS-B driving a jitted value_and_grad, with
+  the reference's restart-on-early-stop semantics — scipy sometimes terminates
+  before the step budget, so minimize is re-invoked with the remaining budget
+  (2 sequential attempts; reference: cglb/backend/tensorflow/interface.py:309-337,
+  4 attempts with inducing freezing on the torch side interface.py:445-543).
+- ``lbfgs``: optax.lbfgs with zoom linesearch — fully on-device; the TPU-first
+  path (no host<->device parameter round-trip per feval).
+- ``adam_<lr>``: optax.adam loop (reference: tensorflow/interface.py:339-355).
+
+The CG warm-start v0 is threaded through every path as explicit carry state
+(the reference mutates model.v0 instead; tensorflow/models.py:172).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import scipy.optimize
+
+from . import flatten as _fl
+from .logging import Logger
+
+__all__ = ["scipy_minimize", "adam_minimize", "lbfgs_minimize", "OptimizeResult"]
+
+# loss_fn(params, carry_state) -> (loss, new_carry_state); carry may be None.
+LossFn = Callable[[Any, Any], Tuple[jnp.ndarray, Any]]
+
+
+class OptimizeResult(NamedTuple):
+    params: Any
+    state: Any          # final carry (e.g. CGLB aux with warm-start v)
+    num_iters: int
+    final_loss: float
+
+
+def _jit_value_and_grad(loss_fn: LossFn):
+    def wrapped(params, state):
+        loss, new_state = loss_fn(params, state)
+        return loss, new_state
+
+    return jax.jit(jax.value_and_grad(wrapped, has_aux=True))
+
+
+def scipy_minimize(
+    loss_fn: LossFn,
+    params,
+    state,
+    num_steps: int,
+    logger: Optional[Logger] = None,
+    attempts: int = 2,
+    ftol: float = 0.0,
+    gtol: float = 0.0,
+    feval_stats_fn: Callable[[Any], dict] = None,
+) -> OptimizeResult:
+    """L-BFGS-B on the host, jitted loss+grad on device.
+
+    Parameters are flattened to one fp64 vector (reference:
+    pytorch/optimizer.py:20-98); each feval ships the vector to device, runs the
+    compiled value_and_grad once, and ships loss+grad back.  The carry state
+    (CG warm start) is updated on every feval, including line-search evals —
+    TF-backend semantics (v0.assign inside the objective, models.py:172).
+    """
+    vg = _jit_value_and_grad(loss_fn)
+    unflatten = _fl.make_unflatten(params)
+    x0 = _fl.flatten_trainable(params)
+
+    holder = {"params": params, "state": state, "loss": np.inf}
+
+    def fun(x):
+        p = unflatten(x)
+        (loss, new_state), grads = vg(p, holder["state"])
+        holder["params"] = p
+        holder["state"] = new_state
+        holder["loss"] = float(loss)
+        if logger is not None and feval_stats_fn is not None:
+            logger.log_for_feval(**feval_stats_fn(new_state))
+        g = _fl.flatten_grads_like(p, grads)
+        return float(loss), np.asarray(g, dtype=np.float64)
+
+    def callback(xk):
+        if logger is not None:
+            logger(None)
+
+    if logger is not None:
+        logger.timer.reset()
+        logger.timer.start()
+
+    total_iters = 0
+    remaining = num_steps
+    for _ in range(attempts):
+        if remaining <= 0:
+            break
+        res = scipy.optimize.minimize(
+            fun,
+            _fl.flatten_trainable(holder["params"]),
+            jac=True,
+            method="L-BFGS-B",
+            options=dict(maxiter=remaining, ftol=ftol, gtol=gtol),
+            callback=callback,
+        )
+        total_iters += int(res.nit)
+        remaining -= int(res.nit)
+        holder["params"] = unflatten(res.x)
+        # refresh loss/state at the accepted point
+        (loss, new_state), _ = vg(holder["params"], holder["state"])
+        holder["state"] = new_state
+        holder["loss"] = float(loss)
+
+    return OptimizeResult(
+        params=holder["params"],
+        state=holder["state"],
+        num_iters=total_iters,
+        final_loss=holder["loss"],
+    )
+
+
+def adam_minimize(
+    loss_fn: LossFn,
+    params,
+    state,
+    num_steps: int,
+    learning_rate: float = 0.01,
+    logger: Optional[Logger] = None,
+) -> OptimizeResult:
+    """On-device Adam loop; one jitted step reused for all iterations."""
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, carry):
+        (loss, new_carry), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, carry
+        )
+        grads = _fl.mask_untrainable_grads(params, grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_carry, loss
+
+    if logger is not None:
+        logger.timer.reset()
+        logger.timer.start()
+
+    loss = np.inf
+    for i in range(num_steps):
+        params, opt_state, state, loss = step(params, opt_state, state)
+        if logger is not None:
+            logger(i)
+    return OptimizeResult(params=params, state=state, num_iters=num_steps,
+                         final_loss=float(loss))
+
+
+def lbfgs_minimize(
+    loss_fn: LossFn,
+    params,
+    state,
+    num_steps: int,
+    logger: Optional[Logger] = None,
+    memory_size: int = 15,
+    feval_stats_fn: Callable[[Any], dict] = None,
+) -> OptimizeResult:
+    """Pure-JAX L-BFGS with zoom linesearch (optax.lbfgs) — everything on device.
+
+    The linesearch re-evaluates the loss at trial points; the CG warm start is
+    updated from the accepted step's aux, replicating the reference's
+    reuse-v-during-linesearch caching (pytorch/models.py:263-278) functionally.
+    """
+    opt = optax.lbfgs(memory_size=memory_size)
+
+    @jax.jit
+    def step(params, opt_state, carry):
+        def f(p):
+            return loss_fn(p, carry)[0]
+
+        (loss, new_carry), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, carry
+        )
+        grads = _fl.mask_untrainable_grads(params, grads)
+        updates, opt_state = opt.update(
+            grads, opt_state, params, value=loss, grad=grads, value_fn=f
+        )
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_carry, loss
+
+    opt_state = opt.init(params)
+    if logger is not None:
+        logger.timer.reset()
+        logger.timer.start()
+
+    loss = np.inf
+    for i in range(num_steps):
+        params, opt_state, state, loss = step(params, opt_state, state)
+        if logger is not None:
+            if feval_stats_fn is not None:
+                logger.log_for_feval(**feval_stats_fn(state))
+            logger(i)
+        if not np.isfinite(float(loss)):
+            break
+    return OptimizeResult(params=params, state=state, num_iters=num_steps,
+                         final_loss=float(loss))

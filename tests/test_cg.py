@@ -1,0 +1,130 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cglb_tpu.ops import cg as cgm
+from cglb_tpu.ops import preconditioners as pc
+
+
+def _spd_system(rng, n=80, m=16):
+    """Random low-rank-plus-noise SPD system resembling Kff + s2 I."""
+    U = rng.normal(size=(n, m))
+    K = U @ U.T + 0.5 * np.eye(n)
+    b = rng.normal(size=(1, n))
+    # Nystrom-style preconditioner pieces: A [m, n], LB chol(AA^T + I)
+    sigma_sq = 0.5
+    A = (U / np.sqrt(sigma_sq)).T
+    B = A @ A.T + np.eye(m)
+    LB = np.linalg.cholesky(B)
+    precond = pc.NystromPreconditioner(
+        A=jnp.asarray(A), LB=jnp.asarray(LB), sigma_sq=jnp.asarray(sigma_sq)
+    )
+    return K, b, precond, sigma_sq
+
+
+def test_preconditioner_matches_dense_inverse(rng):
+    """P r must equal (Qff + s2 I)^-1 r computed densely."""
+    n, m = 60, 12
+    U = rng.normal(size=(n, m))
+    sigma_sq = 0.3
+    Qff = U @ U.T
+    A = (U / np.sqrt(sigma_sq)).T
+    B = A @ A.T + np.eye(m)
+    LB = np.linalg.cholesky(B)
+    P = pc.NystromPreconditioner(
+        A=jnp.asarray(A), LB=jnp.asarray(LB), sigma_sq=jnp.asarray(sigma_sq)
+    )
+    r = rng.normal(size=(1, n))
+    z, rz = pc.mat_vec(P, jnp.asarray(r))
+    want = np.linalg.solve(Qff + sigma_sq * np.eye(n), r[0])
+    np.testing.assert_allclose(np.asarray(z)[0], want, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(rz[0]), float(r[0] @ want), rtol=1e-8)
+
+
+def test_preconditioner_inverse_roundtrip(rng):
+    n, m = 40, 8
+    U = rng.normal(size=(n, m))
+    sigma_sq = 0.7
+    A = (U / np.sqrt(sigma_sq)).T
+    B = A @ A.T + np.eye(m)
+    LB = np.linalg.cholesky(B)
+    P = pc.NystromPreconditioner(
+        A=jnp.asarray(A), LB=jnp.asarray(LB), sigma_sq=jnp.asarray(sigma_sq)
+    )
+    r = jnp.asarray(rng.normal(size=(1, n)))
+    z, _ = pc.mat_vec(P, r)
+    back = pc.inv_mat_vec(P, z)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(r), rtol=1e-8, atol=1e-10)
+
+
+def test_cg_converges_to_dense_solve(rng):
+    K, b, precond, _ = _spd_system(rng)
+    matvec = lambda p: p @ jnp.asarray(K)
+    v0 = jnp.zeros_like(jnp.asarray(b))
+    v, stats = cgm.preconditioned_cg(
+        matvec, jnp.asarray(b), v0, precond, max_error=1e-12, max_iters=200,
+        restart_iters=40,
+    )
+    want = np.linalg.solve(K, b[0])
+    np.testing.assert_allclose(np.asarray(v)[0], want, rtol=1e-6, atol=1e-8)
+    assert int(stats.steps) < 200
+
+
+def test_cg_stops_immediately_when_warm_start_exact(rng):
+    K, b, precond, _ = _spd_system(rng)
+    v_exact = np.linalg.solve(K, b[0])[None, :]
+    matvec = lambda p: p @ jnp.asarray(K)
+    v, stats = cgm.preconditioned_cg(
+        matvec, jnp.asarray(b), jnp.asarray(v_exact), precond,
+        max_error=1e-6, max_iters=100,
+    )
+    assert int(stats.steps) == 0
+    np.testing.assert_allclose(np.asarray(v), v_exact, rtol=1e-12)
+
+
+def test_cg_respects_max_iters(rng):
+    # full-rank random SPD + identity preconditioner: cannot converge in 7 steps
+    G = rng.normal(size=(80, 80))
+    K = G @ G.T + 1e-3 * np.eye(80)
+    b = rng.normal(size=(1, 80))
+    matvec = lambda p: p @ jnp.asarray(K)
+    v0 = jnp.zeros_like(jnp.asarray(b))
+    _, stats = cgm.preconditioned_cg(
+        matvec, jnp.asarray(b), v0, pc.IdentityPreconditioner(),
+        max_error=1e-30, max_iters=7,
+    )
+    assert int(stats.steps) == 7
+
+
+def test_cg_loose_tolerance_fewer_steps(rng):
+    K, b, precond, _ = _spd_system(rng)
+    matvec = lambda p: p @ jnp.asarray(K)
+    v0 = jnp.zeros_like(jnp.asarray(b))
+    _, s_loose = cgm.preconditioned_cg(matvec, jnp.asarray(b), v0, precond, 1.0, 100)
+    _, s_tight = cgm.preconditioned_cg(matvec, jnp.asarray(b), v0, precond, 1e-10, 100)
+    assert int(s_loose.steps) <= int(s_tight.steps)
+    assert float(s_loose.residual_error) <= 1.0 or int(s_loose.steps) == 100
+
+
+def test_cg_identity_preconditioner(rng):
+    K, b, _, _ = _spd_system(rng, n=50, m=10)
+    matvec = lambda p: p @ jnp.asarray(K)
+    v0 = jnp.zeros_like(jnp.asarray(b))
+    v, _ = cgm.preconditioned_cg(
+        matvec, jnp.asarray(b), v0, pc.IdentityPreconditioner(),
+        max_error=1e-12, max_iters=300,
+    )
+    want = np.linalg.solve(K, b[0])
+    np.testing.assert_allclose(np.asarray(v)[0], want, rtol=1e-5, atol=1e-7)
+
+
+def test_cg_restart_path_still_converges(rng):
+    """Force multiple restarts (restart_iters=5) and check correctness."""
+    K, b, precond, _ = _spd_system(rng, n=100, m=4)
+    matvec = lambda p: p @ jnp.asarray(K)
+    v0 = jnp.zeros_like(jnp.asarray(b))
+    v, stats = cgm.preconditioned_cg(
+        matvec, jnp.asarray(b), v0, precond, max_error=1e-12, max_iters=300,
+        restart_iters=5,
+    )
+    want = np.linalg.solve(K, b[0])
+    np.testing.assert_allclose(np.asarray(v)[0], want, rtol=1e-5, atol=1e-7)

@@ -1,0 +1,120 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cglb_tpu.ops import kernels as k
+from cglb_tpu.models import gpr, sgpr
+from cglb_tpu.models.gaussian import mean_apply
+
+
+def _setup(rng, n=64, d=3, m=12):
+    X = rng.normal(size=(n, d))
+    w = rng.normal(size=(d, 1))
+    Y = np.tanh(X @ w) + 0.1 * rng.normal(size=(n, 1))
+    kern = k.make_kernel("Matern32", d, variance=1.4, lengthscales=0.9,
+                         dtype=np.float64)
+    Z = X[rng.choice(n, m, replace=False)]
+    return X, Y, kern, Z
+
+
+def _naive_lml(K, sigma_sq, err):
+    n = K.shape[0]
+    Ky = K + sigma_sq * np.eye(n)
+    sign, logdet = np.linalg.slogdet(Ky)
+    quad = float(err.T @ np.linalg.solve(Ky, err))
+    return -0.5 * (n * math.log(2 * math.pi) + logdet + quad)
+
+
+def test_gpr_lml_matches_numpy_oracle(rng):
+    X, Y, kern, _ = _setup(rng)
+    params = gpr.GPRParams.create(kern, noise_variance=0.8, dtype=np.float64)
+    got = float(gpr.log_marginal_likelihood(params, jnp.asarray(X), jnp.asarray(Y)))
+    Kxx = np.asarray(k.K(kern, jnp.asarray(X)))
+    sigma_sq = float(params.noise_variance.value)
+    err = Y - np.asarray(mean_apply(params.mean, jnp.asarray(X)))
+    want = _naive_lml(Kxx, sigma_sq, err)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_gpr_predict_matches_closed_form(rng):
+    X, Y, kern, _ = _setup(rng, n=40)
+    Xs = rng.normal(size=(7, 3))
+    params = gpr.GPRParams.create(kern, noise_variance=0.5, dtype=np.float64)
+    mean, var = gpr.predict_f(params, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Xs))
+    Kxx = np.asarray(k.K(kern, jnp.asarray(X)))
+    Ksx = np.asarray(k.K(kern, jnp.asarray(Xs), jnp.asarray(X)))
+    Kss = np.asarray(k.kdiag(kern, jnp.asarray(Xs)))
+    sigma_sq = float(params.noise_variance.value)
+    Ky = Kxx + sigma_sq * np.eye(40)
+    want_mean = Ksx @ np.linalg.solve(Ky, Y)
+    want_var = Kss - np.sum(Ksx * np.linalg.solve(Ky, Ksx.T).T, axis=1)
+    np.testing.assert_allclose(np.asarray(mean), want_mean, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var)[:, 0], want_var, rtol=1e-6, atol=1e-9)
+
+
+def test_sgpr_elbo_against_dense_oracle(rng):
+    """ELBO = log N(y | 0, Qff + s2 I) - 1/(2 s2) tr(K - Q), computed densely."""
+    X, Y, kern, Z = _setup(rng)
+    params = sgpr.SGPRParams.create(kern, Z, noise_variance=0.7, dtype=np.float64)
+    got = float(sgpr.elbo(params, jnp.asarray(X), jnp.asarray(Y), jitter=0.0))
+
+    Kuf = np.asarray(k.K(kern, jnp.asarray(Z), jnp.asarray(X)))
+    Kuu = np.asarray(k.K(kern, jnp.asarray(Z)))
+    Qff = Kuf.T @ np.linalg.solve(Kuu, Kuf)
+    sigma_sq = float(params.noise_variance.value)
+    err = Y
+    lml_q = _naive_lml(Qff, sigma_sq, err)
+    kd = np.asarray(k.kdiag(kern, jnp.asarray(X)))
+    trace_term = (np.sum(kd) - np.trace(Qff)) / (2.0 * sigma_sq)
+    want = lml_q - trace_term
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_sgpr_bracket_elbo_lml_upper(rng):
+    """ELBO <= exact LML <= Titsias upper bound (the reference's de-facto
+    integration test, SURVEY.md section 4)."""
+    X, Y, kern, Z = _setup(rng)
+    sp = sgpr.SGPRParams.create(kern, Z, noise_variance=0.6, dtype=np.float64)
+    gp = gpr.GPRParams.create(kern, noise_variance=0.6, dtype=np.float64)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    e = float(sgpr.elbo(sp, Xj, Yj))
+    u = float(sgpr.upper_bound(sp, Xj, Yj))
+    l = float(gpr.log_marginal_likelihood(gp, Xj, Yj))
+    assert e <= l + 1e-8
+    assert l <= u + 1e-8
+
+
+def test_sgpr_equals_gpr_when_inducing_is_full_data(rng):
+    X, Y, kern, _ = _setup(rng, n=30)
+    sp = sgpr.SGPRParams.create(kern, X, noise_variance=0.5, dtype=np.float64)
+    gp = gpr.GPRParams.create(kern, noise_variance=0.5, dtype=np.float64)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    e = float(sgpr.elbo(sp, Xj, Yj, jitter=1e-10))
+    l = float(gpr.log_marginal_likelihood(gp, Xj, Yj))
+    np.testing.assert_allclose(e, l, rtol=1e-5)
+    # predictions agree too
+    Xs = jnp.asarray(np.random.default_rng(1).normal(size=(5, 3)))
+    m1, v1 = sgpr.predict_f(sp, Xj, Yj, Xs, jitter=1e-10)
+    m2, v2 = gpr.predict_f(gp, Xj, Yj, Xs)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-3, atol=1e-6)
+
+
+def test_sgpr_n2m_is_lower_bound(rng):
+    X, Y, kern, Z = _setup(rng)
+    sp = sgpr.SGPRParams.create(kern, Z, noise_variance=0.6, dtype=np.float64)
+    gp = gpr.GPRParams.create(kern, noise_variance=0.6, dtype=np.float64)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    b = float(sgpr.elbo_n2m(sp, Xj, Yj))
+    l = float(gpr.log_marginal_likelihood(gp, Xj, Yj))
+    assert b <= l + 1e-8
+
+
+def test_elbo_gradients_finite(rng):
+    X, Y, kern, Z = _setup(rng, n=32, m=8)
+    sp = sgpr.SGPRParams.create(kern, Z, noise_variance=0.9, dtype=np.float64)
+    g = jax.grad(lambda p: sgpr.elbo(p, jnp.asarray(X), jnp.asarray(Y)))(sp)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
