@@ -79,7 +79,9 @@ class Model:
                 return -_sgpr.elbo_n2m(params, X, Y), state
         elif kind in _CGLB_KINDS:
             cfg = self.run_cfg
-            def fn(params, v0):
+            def fn(params, carry):
+                # carry is either the raw v0 array or last feval's CGLBAux
+                v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
                 l, aux = _cglb.loss(params, X, Y, v0, cfg)
                 return l, aux
         else:

@@ -58,7 +58,7 @@ def conditional_variance_numpy(
         j = int(indices[m])
         dj = np.sqrt(di[j])
         cj = ci[:m, j]
-        Lcol = np.asarray(kernel_cross(Xp, Xp[j : j + 1]), dtype=np.float64)[:, 0]
+        Lcol = np.array(kernel_cross(Xp, Xp[j : j + 1]), dtype=np.float64)[:, 0]
         Lcol[j] += jitter
         ei = (Lcol - cj @ ci[:m]) / dj
         ci[m, :] = ei
@@ -98,7 +98,9 @@ def conditional_variance(
         def body(m, carry):
             di, ci, indices = carry
             j = indices[m]
-            xj = jax.lax.dynamic_slice(Xp, (j, 0), (1, Xp.shape[1]))
+            xj = jax.lax.dynamic_slice(
+                Xp, (j, jnp.zeros((), dtype=j.dtype)), (1, Xp.shape[1])
+            )
             Lcol = _k.K(kernel, Xp, xj)[:, 0]
             Lcol = Lcol.at[j].add(jitter)
             cj = ci[:, j]  # rows >= m are zero, so the dot spans only chosen rows

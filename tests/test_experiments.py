@@ -1,0 +1,157 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from cglb_tpu.backend import Jax
+from cglb_tpu.configs import (
+    CGLBConfig,
+    GPRConfig,
+    InducingVariableConfig,
+    Matern32Config,
+    SGPRConfig,
+)
+from cglb_tpu.experiments.baselines import linear_baseline, meanpred_baseline
+from cglb_tpu.experiments.datasets import DatasetBundle, get_dataset, norm
+from cglb_tpu.utils.serialization import dump_json, load_json
+
+
+def test_dataset_normalization_uses_train_stats():
+    b = get_dataset("snelson1d", split=0)
+    xtr, ytr = b.train
+    np.testing.assert_allclose(np.mean(xtr, axis=0), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.std(xtr, axis=0), 1.0, atol=1e-4)
+    # train/test split proportions
+    n = xtr.shape[0] + b.test[0].shape[0]
+    assert n == 200
+    assert xtr.shape[0] == int(200 * 0.67)
+
+
+def test_dataset_split_deterministic_by_seed():
+    a = get_dataset("snelson1d", split=3)
+    b = get_dataset("snelson1d", split=3)
+    c = get_dataset("snelson1d", split=4)
+    np.testing.assert_array_equal(a.train[0], b.train[0])
+    assert not np.array_equal(a.train[0], c.train[0])
+
+
+def test_synthetic_shape_registry():
+    b = get_dataset("synth_500x4")
+    assert b.train[0].shape[1] == 4
+    assert b.train[0].shape[0] + b.test[0].shape[0] == 500
+
+
+def test_baselines_produce_finite_metrics():
+    b = get_dataset("snelson1d")
+    for fn in (meanpred_baseline, linear_baseline):
+        res = fn(b)
+        assert np.isfinite(res["test/rmse"])
+        assert np.isfinite(res["test/nlpd"])
+    # linear should beat mean on rmse for this smooth data
+    assert linear_baseline(b)["test/rmse"] <= meanpred_baseline(b)["test/rmse"] + 0.1
+
+
+def test_serialization_roundtrip(tmp_path):
+    obj = {"a": np.arange(6, dtype=np.float64).reshape(2, 3), "b": 1.5,
+           "c": [np.float64(2.5)], "d": "x"}
+    p = tmp_path / "obj.json"
+    dump_json(obj, p)
+    back = load_json(p)
+    np.testing.assert_allclose(back["a"], obj["a"])
+    assert back["a"].dtype == np.float64
+    assert back["b"] == 1.5 and back["d"] == "x"
+
+
+def test_backend_create_save_load_roundtrip(tmp_path, rng):
+    data = get_dataset("synth_200x3").train
+    cfg = SGPRConfig(Matern32Config(), InducingVariableConfig(8))
+    model = Jax.create_model(cfg, data, seed=0)
+    e1 = model.elbo()
+    Jax.save(model, tmp_path)
+    # perturb then load back
+    model2 = Jax.create_model(cfg, data, seed=1)
+    model2 = Jax.load(model2, Path(tmp_path) / "model.json")
+    # loaded params give the same elbo up to inducing-point differences?  No —
+    # inducing points are saved too, so everything matches.
+    np.testing.assert_allclose(model2.elbo(), e1, rtol=1e-8)
+
+
+def test_backend_metrics_cglb(tmp_path):
+    data_bundle = get_dataset("synth_200x3")
+    cfg = CGLBConfig(Matern32Config(), InducingVariableConfig(16))
+    model = Jax.create_model(cfg, data_bundle.train, seed=0)
+    metrics = Jax.metrics_fn(model, data_bundle.to_tuple())()
+    for key in ("elbo", "titsias_upper_bound", "cg_lower_bound", "loss",
+                "cg/steps", "cg/error", "train/rmse", "test/rmse",
+                "train/nlpd", "test/nlpd"):
+        assert key in metrics, key
+        assert np.isfinite(metrics[key]), key
+    assert metrics["elbo"] <= metrics["cg_lower_bound"] + 1e-6
+    assert metrics["cg_lower_bound"] <= metrics["titsias_upper_bound"] + 1e-6
+
+
+def test_backend_optimize_cglb_scipy_improves(tmp_path):
+    data_bundle = get_dataset("synth_200x3")
+    cfg = CGLBConfig(Matern32Config(), InducingVariableConfig(12))
+    model = Jax.create_model(cfg, data_bundle.train, seed=0)
+    metrics_before = Jax.metrics_fn(model, data_bundle.to_tuple())()
+    Jax.optimize(model, data_bundle.to_tuple(), num_steps=25, optimizer="scipy")
+    metrics_after = Jax.metrics_fn(model, data_bundle.to_tuple())()
+    assert metrics_after["loss"] < metrics_before["loss"] - 1.0
+    # z-scored targets: a trained GP must beat the mean predictor (rmse=1.0)
+    assert metrics_after["test/rmse"] < 1.0
+
+
+def test_cli_end_to_end_train_cglb(tmp_path):
+    from cglb_tpu.experiments.cli import main as cli_main
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_main,
+        [
+            "-b", "jax", "-t", "fp64", "-l", str(tmp_path), "-s", "0",
+            "train", "-n", "10", "-d", "synth_150x2", "-o", "scipy",
+            "cglb", "-m", "cglb", "-k", "Matern32", "-i", "cv", "-M", "8",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "results.json").exists()
+    assert (tmp_path / "logs.json").exists()
+    assert (tmp_path / "model.json").exists()
+    results = load_json(tmp_path / "results.json")
+    assert np.isfinite(results["cg_lower_bound"])
+    logs = load_json(tmp_path / "logs.json")
+    assert "loss" in logs and len(logs["loss"]) >= 1
+
+
+def test_cli_baseline(tmp_path):
+    from cglb_tpu.experiments.cli import main as cli_main
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_main,
+        ["-l", str(tmp_path), "baseline", "-d", "synth_150x2", "mean"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    res = load_json(tmp_path / "results.json")
+    assert res["id"] == "mean"
+
+
+def test_cli_metric_sgpr(tmp_path):
+    from cglb_tpu.experiments.cli import main as cli_main
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_main,
+        [
+            "-l", str(tmp_path), "metric", "-d", "synth_150x2",
+            "sgpr", "-m", "sgpr", "-k", "rbf", "-i", "cv", "-M", "8",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "metric.npy").exists()

@@ -1,0 +1,157 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cglb_tpu.backend import Jax
+from cglb_tpu.configs import CGLBConfig, GPRConfig, InducingVariableConfig, \
+    Matern32Config, SGPRConfig
+from cglb_tpu.models import cglb as cglb_mod
+from cglb_tpu.models import sgpr as sgpr_mod
+from cglb_tpu.ops import kernels as k
+from cglb_tpu.utils import flatten as fl
+from cglb_tpu.utils import training
+from cglb_tpu.utils.inducing import conditional_variance, \
+    conditional_variance_numpy
+
+
+def _data(rng, n=80, d=2):
+    X = rng.normal(size=(n, d))
+    Y = np.sin(X[:, :1]) + 0.3 * np.cos(X[:, 1:2]) + 0.05 * rng.normal(size=(n, 1))
+    return X, Y
+
+
+def _sgpr_params(rng, X, Y, m=10):
+    kern = k.make_kernel("Matern32", X.shape[1], dtype=np.float64)
+    Z = X[rng.choice(X.shape[0], m, replace=False)]
+    return sgpr_mod.SGPRParams.create(kern, Z, dtype=np.float64)
+
+
+def test_flatten_roundtrip(rng):
+    X, Y = _data(rng)
+    params = _sgpr_params(rng, X, Y)
+    vec = fl.flatten_trainable(params)
+    unflatten = fl.make_unflatten(params)
+    params2 = unflatten(vec)
+    vec2 = fl.flatten_trainable(params2)
+    np.testing.assert_allclose(vec, vec2, rtol=1e-12)
+    # perturbed vector lands where expected
+    params3 = unflatten(vec + 1.0)
+    vec3 = fl.flatten_trainable(params3)
+    np.testing.assert_allclose(vec3, vec + 1.0, rtol=1e-12)
+
+
+def test_parameter_dict_and_assign(rng):
+    X, Y = _data(rng)
+    params = _sgpr_params(rng, X, Y)
+    d = fl.parameter_dict(params)
+    assert any("kernel" in key for key in d)
+    # roundtrip through assign
+    params2 = fl.assign_parameters(params, d)
+    d2 = fl.parameter_dict(params2)
+    for key in d:
+        np.testing.assert_allclose(d[key], d2[key], rtol=1e-9, atol=1e-12)
+
+
+def test_scipy_minimize_reduces_sgpr_loss(rng):
+    X, Y = _data(rng)
+    params = _sgpr_params(rng, X, Y)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def loss_fn(p, s):
+        return -sgpr_mod.elbo(p, Xj, Yj), s
+
+    l0 = float(loss_fn(params, None)[0])
+    res = training.scipy_minimize(loss_fn, params, None, num_steps=40)
+    assert res.final_loss < l0 - 1.0
+    assert res.num_iters > 0
+
+
+def test_scipy_minimize_cglb_with_warm_start(rng):
+    X, Y = _data(rng)
+    params = _sgpr_params(rng, X, Y)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    cfg = cglb_mod.CGLBConfig()
+    v0 = cglb_mod.init_v0(X.shape[0])
+
+    def loss_fn(p, carry):
+        v = carry.v if isinstance(carry, cglb_mod.CGLBAux) else carry
+        return cglb_mod.loss(p, Xj, Yj, v, cfg)
+
+    l0 = float(loss_fn(params, v0)[0])
+    res = training.scipy_minimize(loss_fn, params, v0, num_steps=30)
+    assert res.final_loss < l0 - 1.0
+    assert isinstance(res.state, cglb_mod.CGLBAux)
+    assert np.asarray(res.state.v).shape == (1, X.shape[0])
+
+
+def test_lbfgs_minimize_on_device(rng):
+    X, Y = _data(rng)
+    params = _sgpr_params(rng, X, Y)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def loss_fn(p, s):
+        return -sgpr_mod.elbo(p, Xj, Yj), s
+
+    l0 = float(loss_fn(params, None)[0])
+    res = training.lbfgs_minimize(loss_fn, params, None, num_steps=25)
+    assert res.final_loss < l0 - 1.0
+
+
+def test_adam_minimize(rng):
+    X, Y = _data(rng)
+    params = _sgpr_params(rng, X, Y)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def loss_fn(p, s):
+        return -sgpr_mod.elbo(p, Xj, Yj), s
+
+    l0 = float(loss_fn(params, None)[0])
+    res = training.adam_minimize(loss_fn, params, None, num_steps=50,
+                                 learning_rate=0.05)
+    assert res.final_loss < l0
+
+
+def test_untrainable_params_not_updated(rng):
+    X, Y = _data(rng)
+    kern = k.make_kernel("Matern32", X.shape[1], dtype=np.float64)
+    Z = X[:8]
+    params = sgpr_mod.SGPRParams.create(kern, Z, dtype=np.float64,
+                                        trainable_inducing=False)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def loss_fn(p, s):
+        return -sgpr_mod.elbo(p, Xj, Yj), s
+
+    res = training.scipy_minimize(loss_fn, params, None, num_steps=15)
+    np.testing.assert_allclose(
+        np.asarray(res.params.inducing_Z.value), Z, rtol=1e-12
+    )
+    # but the kernel did move
+    assert not np.allclose(
+        np.asarray(res.params.kernel.variance.value),
+        np.asarray(params.kernel.variance.value),
+    )
+
+
+def test_conditional_variance_device_matches_numpy(rng):
+    X = rng.normal(size=(60, 3))
+    kern = k.make_kernel("Matern32", 3, dtype=np.float64)
+
+    def kd(Xp):
+        return np.asarray(k.kdiag(kern, jnp.asarray(Xp)))
+
+    def kc(Xp, z):
+        return np.asarray(k.K(kern, jnp.asarray(Xp), jnp.asarray(z)))
+
+    Z1, idx1 = conditional_variance_numpy(X, 8, kd, kc, seed=3)
+    Z2, idx2 = conditional_variance(X, 8, kern, seed=3)
+    np.testing.assert_array_equal(idx1, idx2)
+    np.testing.assert_allclose(Z1, Z2, rtol=1e-12)
+
+
+def test_conditional_variance_spreads_points(rng):
+    """Greedy selection should never pick the same point twice."""
+    X = rng.normal(size=(100, 2))
+    kern = k.make_kernel("rbf", 2, dtype=np.float64)
+    _, idx = conditional_variance(X, 16, kern, seed=0)
+    assert len(set(idx.tolist())) == 16
