@@ -1,0 +1,131 @@
+"""Data-sharded CGLB/SGPR computation over a device mesh.
+
+TPU-native replacement for the reference's MultiDeviceKernel data parallelism
+(cglb/backend/pytorch/interface.py:241-244,291-295) and the missing multi-node
+story (SURVEY.md section 5.8): everything N-sized is sharded along the mesh's
+data axis with GSPMD sharding constraints, everything M-sized is replicated,
+and XLA inserts all_gather/psum collectives over ICI.
+
+Layout:
+    X            [N, D]   sharded rows      (data)
+    Y, err       [N, 1]   sharded rows
+    Kuf, A       [M, N]   sharded columns  -> AAT = A A^T is an ICI psum
+    K(X,X)+s2I   [N, N]   sharded columns   (dense path; N^2/devices per chip)
+    v, r, p      [B, N]   sharded columns inside CG; scalar reductions psum
+
+The CG while_loop body is identical to the single-device one (ops/cg.py) — only
+the matvec closure and the common-terms builder change, which is the point of
+the operator abstraction.  For N beyond HBM the dense column block is replaced
+by the streaming Pallas matvec per shard (ops/matvec_pallas.py) — same sharding,
+no K materialization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import cglb as _cglb
+from ..models import sgpr as _sgpr
+from ..models.cglb import CGLBAux, CGLBConfig
+from ..models.gaussian import mean_apply
+from ..ops import kernels as _k
+from ..ops import preconditioners as _pc
+from ..ops import cg as _cg
+from .mesh import DATA_AXIS
+
+__all__ = ["shard_data", "sharded_cglb_loss", "make_sharded_operator",
+           "sharded_train_step"]
+
+
+def _cshard(mesh, x, spec):
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def shard_data(mesh: Mesh, X, Y):
+    """Place data row-sharded on the mesh (pads are caller's responsibility —
+    N should be divisible by the mesh size for clean layouts)."""
+    xs = jax.device_put(X, NamedSharding(mesh, P(DATA_AXIS, None)))
+    ys = jax.device_put(Y, NamedSharding(mesh, P(DATA_AXIS, None)))
+    return xs, ys
+
+
+def make_sharded_operator(mesh: Mesh, kernel, X, sigma_sq):
+    """Column-sharded dense operator: K + s2 I lives sharded over the data axis;
+    matvec keeps p replicated in, result replicated out (XLA all-gathers)."""
+    N = X.shape[0]
+    Kmat = _k.K(kernel, X) + sigma_sq * jnp.eye(N, dtype=X.dtype)
+    Kmat = _cshard(mesh, Kmat, P(None, DATA_AXIS))
+
+    def matvec(p):
+        out = p @ Kmat  # [B, N] sharded on last axis
+        return _cshard(mesh, out, P())
+
+    return matvec
+
+
+def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
+                          jitter: float) -> _sgpr.CommonTerms:
+    """Common terms with Kuf/A column-sharded; M x M results replicated."""
+    Z = params.inducing_Z.value
+    M = Z.shape[0]
+    kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
+    L = jnp.linalg.cholesky(kuu)
+    kuf = _k.K(params.kernel, Z, X)  # [M, N]
+    kuf = _cshard(mesh, kuf, P(None, DATA_AXIS))
+    sigma = jnp.sqrt(params.noise_variance.value)
+    A = jax.scipy.linalg.solve_triangular(L, kuf, lower=True) / sigma
+    A = _cshard(mesh, A, P(None, DATA_AXIS))
+    AAT = _cshard(mesh, A @ A.T, P())  # psum over shards
+    B = AAT + jnp.eye(M, dtype=Z.dtype)
+    LB = jnp.linalg.cholesky(B)
+    return _sgpr.CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
+
+
+def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
+                      jitter: float = None) -> Tuple[jnp.ndarray, CGLBAux]:
+    """CGLB loss with all N-sized tensors sharded over the mesh's data axis.
+
+    Numerically identical to models.cglb.loss (same math, same CG); only the
+    layout differs.  Call under jit with the mesh's devices visible.
+    """
+    from .. import config as _config
+
+    jitter = jitter if jitter is not None else _config.default_jitter()
+    N, D = Y.shape
+    ct = _sharded_common_terms(mesh, params, X, jitter)
+    sigma_sq = params.noise_variance.value
+
+    import math
+
+    b = -0.5 * N * D * math.log(2.0 * math.pi)
+    b += _cglb._logdet_bound(params, ct, X, Y, cfg.logdet_variant)
+
+    matvec = make_sharded_operator(mesh, params.kernel, X, sigma_sq)
+    quad, aux = _cglb._quad_form_bound(params, ct, X, Y, v0, cfg, matvec)
+    b += quad
+    return -b, aux
+
+
+def sharded_train_step(mesh: Mesh, cfg: CGLBConfig, optimizer):
+    """Build a jitted full training step over the mesh: value_and_grad of the
+    sharded CGLB loss + optimizer update, CG warm start in the carry."""
+    import optax
+
+    from ..utils import flatten as _fl
+
+    def step(params, opt_state, v0, X, Y):
+        def loss_fn(p):
+            return sharded_cglb_loss(p, X, Y, v0, cfg, mesh)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = _fl.mask_untrainable_grads(params, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))

@@ -1,0 +1,92 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cglb_tpu.models import cglb as cglb_mod
+from cglb_tpu.models import sgpr as sgpr_mod
+from cglb_tpu.ops import kernels as k
+from cglb_tpu.parallel import mesh as mesh_mod
+from cglb_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual cpu devices"
+    return mesh_mod.data_mesh(8)
+
+
+def _setup(rng, n=64, d=3, m=8):
+    X = rng.normal(size=(n, d))
+    Y = np.sin(X[:, :1]) + 0.05 * rng.normal(size=(n, 1))
+    kern = k.make_kernel("Matern32", d, dtype=np.float64)
+    Z = X[rng.choice(n, m, replace=False)]
+    params = sgpr_mod.SGPRParams.create(kern, Z, noise_variance=0.5,
+                                        dtype=np.float64)
+    return jnp.asarray(X), jnp.asarray(Y), params
+
+
+def test_sharded_loss_matches_single_device(mesh8, rng):
+    X, Y, params = _setup(rng)
+    cfg = cglb_mod.CGLBConfig(max_error=1e-10, max_cg_iters=200)
+    v0 = cglb_mod.init_v0(X.shape[0])
+
+    l_ref, aux_ref = cglb_mod.loss(params, X, Y, v0, cfg)
+
+    Xs, Ys = sharded.shard_data(mesh8, X, Y)
+    f = jax.jit(
+        lambda p, v: sharded.sharded_cglb_loss(p, Xs, Ys, v, cfg, mesh8)
+    )
+    l_sh, aux_sh = f(params, v0)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(aux_sh.v), np.asarray(aux_ref.v), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_sharded_gradients_match_single_device(mesh8, rng):
+    X, Y, params = _setup(rng)
+    cfg = cglb_mod.CGLBConfig(max_error=0.01)
+    v0 = cglb_mod.init_v0(X.shape[0])
+
+    g_ref = jax.grad(lambda p: cglb_mod.loss(p, X, Y, v0, cfg)[0])(params)
+    Xs, Ys = sharded.shard_data(mesh8, X, Y)
+    g_sh = jax.jit(
+        jax.grad(lambda p: sharded.sharded_cglb_loss(p, Xs, Ys, v0, cfg, mesh8)[0])
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_train_step_runs_and_improves(mesh8, rng):
+    X, Y, params = _setup(rng)
+    cfg = cglb_mod.CGLBConfig()
+    opt = optax.adam(0.05)
+    step = sharded.sharded_train_step(mesh8, cfg, opt)
+    Xs, Ys = sharded.shard_data(mesh8, X, Y)
+    opt_state = opt.init(params)
+    v0 = cglb_mod.init_v0(X.shape[0])
+    losses = []
+    for _ in range(10):
+        params, opt_state, aux, loss = step(params, opt_state, v0, Xs, Ys)
+        v0 = aux.v
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_uneven_shard_sizes_still_work(mesh8, rng):
+    """N not divisible by mesh size: GSPMD pads internally; results exact."""
+    X, Y, params = _setup(rng, n=61)
+    cfg = cglb_mod.CGLBConfig(max_error=1e-8, max_cg_iters=200)
+    v0 = cglb_mod.init_v0(61)
+    l_ref, _ = cglb_mod.loss(params, X, Y, v0, cfg)
+    f = jax.jit(lambda p, v, xs, ys: sharded.sharded_cglb_loss(
+        p, xs, ys, v, cfg, mesh8))
+    l_sh, _ = f(params, v0, X, Y)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-9)
