@@ -1,0 +1,122 @@
+"""Benchmark: streaming CG matvec at the north-star config (BASELINE.md).
+
+Measures the effective fp64-equivalent matvec rate of the Pallas streaming
+kernel matvec at N=40k, D=8 (kin40k shape), Matern32 — the hot op of CGLB
+training (one per CG iteration) — plus full preconditioned-CG iteration rate
+at M=2048.
+
+Prints ONE JSON line:
+    {"metric": "cg_matvec_tflops", "value": <2 N^2 / t / 1e12>, "unit":
+     "TFLOP/s", "vs_baseline": <streaming rate / dense-fp64 XLA rate>}
+
+`vs_baseline` is the speedup over the in-repo baseline the reference's TF
+backend corresponds to on this chip: the dense-fp64 XLA matvec (K materialized,
+fp64 emulated matmul), measured at N=8192 and compared rate-for-rate (the
+reference repo publishes no numbers — BASELINE.json "published": {}).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench(fn, *args, iters=20, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cglb_tpu.models import sgpr as sgpr_mod
+    from cglb_tpu.ops import cg as cg_mod
+    from cglb_tpu.ops import kernels as k
+    from cglb_tpu.ops import matvec_pallas as mv
+    from cglb_tpu.ops import preconditioners as pc
+    from cglb_tpu.utils.inducing import conditional_variance
+
+    on_accel = jax.devices()[0].platform in ("tpu", "axon")
+    # north-star shape (kin40k); pad-friendly N
+    n, d, m = (40960, 8, 2048) if on_accel else (4096, 8, 256)
+    blk = 1024 if on_accel else 256
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(n, d)))
+    p = jnp.asarray(rng.normal(size=(1, n)))
+    kern = k.make_kernel("Matern32", d, dtype=np.float64)
+
+    # --- streaming matvec rate ---
+    f_stream = jax.jit(lambda p: mv.kernel_matvec(kern, X, p, blk, blk))
+    t_stream = _bench(f_stream, p)
+    tflops = 2.0 * n * n / t_stream / 1e12
+
+    # --- dense fp64 XLA baseline rate (smaller N to fit HBM; compare rates) ---
+    nb = min(n, 8192)
+    Xb = X[:nb]
+    pb = p[:, :nb]
+    f_dense = jax.jit(lambda p: p @ k.K(kern, Xb))
+    t_dense = _bench(f_dense, pb, iters=5)
+    dense_rate = 2.0 * nb * nb / t_dense
+    vs_baseline = (2.0 * n * n / t_stream) / dense_rate
+
+    # --- full preconditioned CG iteration rate at M inducing points ---
+    Z = X[
+        np.asarray(
+            np.random.default_rng(1).choice(n, m, replace=False), dtype=np.int64
+        )
+    ]
+    params = sgpr_mod.SGPRParams.create(kern, np.asarray(Z), noise_variance=0.1,
+                                        dtype=np.float64)
+    ct = sgpr_mod.common_terms(params, X)
+    precond = pc.NystromPreconditioner(
+        A=ct.A, LB=ct.LB, sigma_sq=params.noise_variance.value
+    )
+    b = jnp.asarray(rng.normal(size=(1, n)))
+    sigma_sq = params.noise_variance.value
+    op = mv.make_streaming_operator(kern, X, sigma_sq, blk, blk)
+
+    n_iters = 50
+
+    @jax.jit
+    def run_cg(b):
+        v, stats = cg_mod.preconditioned_cg(
+            op, b, jnp.zeros_like(b), precond, max_error=0.0, max_iters=n_iters
+        )
+        return v, stats
+
+    v, stats = run_cg(b)
+    jax.block_until_ready(v)
+    t0 = time.time()
+    v, stats = run_cg(b)
+    jax.block_until_ready(v)
+    t_cg = time.time() - t0
+    iters_per_s = int(stats.steps) / t_cg
+
+    result = {
+        "metric": "cg_matvec_tflops",
+        "value": round(tflops, 4),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "detail": {
+            "shape": {"N": n, "D": d, "M": m, "dtype": "fp64(df64-stream)"},
+            "matvec_ms": round(t_stream * 1e3, 3),
+            "dense_fp64_baseline_tflops": round(dense_rate / 1e12, 4),
+            "cg_iters_per_s": round(iters_per_s, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

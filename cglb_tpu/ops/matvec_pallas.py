@@ -7,19 +7,21 @@ tile).  Here the same streaming computation is a Pallas TPU kernel:
 
     out[b, j] = sum_i p[b, i] * k(x_i, x_j)        (K never materialized in HBM)
 
-Design (TPU):
-- grid = (N/bj, N/bi), j-major: each output block [B, bj] is revisited across
-  the i-steps and accumulated in VMEM scratch with Kahan compensation (f32
-  products, ~f48 effective accumulation across tiles).
-- pairwise squared distances use the matmul expansion on pre-lengthscale-scaled
-  inputs; inputs are split hi/lo (double-float), so three f32 MXU matmuls carry
-  ~48-bit mantissa through the cancellation-prone cross term.
-- kernel values (exp / sqrt) evaluate on the VPU in f32; the variance is a pure
-  prefactor of both kernel families and scales the *output* outside the kernel
-  (no scalar plumbing into SMEM).
-- accuracy: ~1e-6 relative matvec error vs the dense fp64 oracle — far below
-  the CG stopping thresholds used in training (max_error=1.0) and prediction
-  (1e-3); the dense fp64 XLA path stays available where bitwise fp64 matters.
+Precision strategy (the fp64-on-TPU problem, SURVEY.md section 7 "hard parts"):
+fp64 matmuls on TPU lower to slow emulation, so the cancellation-prone cross
+term of the squared distance runs as a **lane-packed bf16 multi-split matmul**:
+each lengthscale-scaled coordinate is split into four bf16 components
+(x ~= b1+b2+b3+b4, ~32 mantissa bits); bf16 x bf16 products are *exact* in the
+MXU's f32 accumulator, so packing the 8 significant split-pairs side by side in
+the 128-lane contraction dimension computes the compensated cross term in ONE
+single-pass MXU matmul (two for D > 16).  Squared norms are precomputed in fp64
+and carried as f32 hi+lo pairs.  Net accuracy ~1e-6 relative vs the dense fp64
+oracle — far below the CG stopping thresholds used in training (max_error=1.0)
+and prediction (1e-3); the dense fp64 XLA path stays available where bitwise
+fp64 matters.
+
+Accumulation across i-tiles is Kahan-compensated in VMEM scratch (f32 products,
+~f48 effective).
 
 Differentiability (custom_vjp):
     d/dp            = g K                  (one more streaming pass; K = K^T)
@@ -47,6 +49,10 @@ __all__ = ["kernel_matvec", "make_streaming_operator", "split_hi_lo"]
 
 _SQRT3 = math.sqrt(3.0)
 
+# split-pair schedule: indices into the 4-way bf16 split (0-based), ordered by
+# magnitude; sum of b[a] @ b[b].T over pairs reconstructs x.x to ~2^-40.
+_PAIRS = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (2, 0), (0, 3), (3, 0)]
+
 
 class _Spec(NamedTuple):
     """Static kernel/tiling description (hashable; nondiff custom_vjp arg)."""
@@ -55,6 +61,7 @@ class _Spec(NamedTuple):
     block_i: int
     block_j: int
     interpret: bool
+    n_packs: int  # how many packed matmuls the pair schedule was folded into
 
 
 def _on_tpu() -> bool:
@@ -71,36 +78,70 @@ def split_hi_lo(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
-def _pad_rows(a, n_pad):
-    return a if a.shape[0] == n_pad else jnp.pad(a, ((0, n_pad - a.shape[0]), (0, 0)))
+def _bf16_split4(x):
+    """x (f64/f32) ~= b0 + b1 + b2 + b3 with each b_k bf16 (~8 mantissa bits
+    per level, ~32 total)."""
+    parts = []
+    r = x
+    for _ in range(4):
+        b = r.astype(jnp.bfloat16)
+        parts.append(b)
+        r = r - b.astype(x.dtype)
+    return parts
 
 
-def _pad_cols(a, n_pad):
-    return a if a.shape[1] == n_pad else jnp.pad(a, ((0, 0), (0, n_pad - a.shape[1])))
+def _pack_lr(Xs):
+    """Build the packed left/right bf16 matrices whose single(-or-double)-pass
+    product reconstructs Xs @ Xs.T to ~2^-40 relative.
 
-
-def _tile_d2(xi_hi, xi_lo, xj_hi, xj_lo):
-    """Squared-distance tile [bi, bj] (f32, hi/lo compensated cross term).
-
-    MXU cost: the hi@hi product needs full f32 precision (6 bf16 passes on TPU,
-    HIGHEST) because d2 suffers catastrophic cancellation near the diagonal.
-    The two df64 correction terms hi@lo + lo@hi only matter at ~2^-24 relative,
-    so one single-pass (DEFAULT) matmul of the lane-packed concatenation
-    [hi|lo] @ [lo|hi]^T is plenty — D <= 64 keeps the packed contraction within
-    the 128-lane tile, i.e. the correction is free lane-fill, not extra passes.
-    """
-    f32 = jnp.float32
-    cross = jnp.dot(xi_hi, xj_hi.T, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)
-    if xi_hi.shape[1] * 2 <= 128:
-        packed_i = jnp.concatenate([xi_hi, xi_lo], axis=1)
-        packed_j = jnp.concatenate([xj_lo, xj_hi], axis=1)
-        cross += jnp.dot(packed_i, packed_j.T, preferred_element_type=f32)
+    Returns (left [N, P], right [N, P], n_packs) with P = packs * 128-friendly
+    width; callers contract left_i @ right_j.T (optionally in n_packs chunks of
+    equal width — kept as one concatenated array with even chunk widths)."""
+    b = _bf16_split4(Xs)
+    D = Xs.shape[1]
+    per = 128 // D  # pairs per 128-lane matmul
+    if per >= len(_PAIRS):
+        groups = [_PAIRS]
     else:
-        cross += jnp.dot(xi_hi, xj_lo.T, preferred_element_type=f32)
-        cross += jnp.dot(xi_lo, xj_hi.T, preferred_element_type=f32)
-    ni = jnp.sum(xi_hi * xi_hi + 2.0 * xi_hi * xi_lo, axis=1)
-    nj = jnp.sum(xj_hi * xj_hi + 2.0 * xj_hi * xj_lo, axis=1)
+        per = max(per, 1)
+        groups = [
+            _PAIRS[k : k + per] for k in range(0, len(_PAIRS), per)
+        ]
+    lefts, rights = [], []
+    width = max(len(g) for g in groups) * D
+    for g in groups:
+        l = jnp.concatenate([b[a] for a, _ in g], axis=1)
+        r = jnp.concatenate([b[c] for _, c in g], axis=1)
+        # pad every group to the same width so one array holds all packs
+        if l.shape[1] < width:
+            l = jnp.pad(l, ((0, 0), (0, width - l.shape[1])))
+            r = jnp.pad(r, ((0, 0), (0, width - r.shape[1])))
+        lefts.append(l)
+        rights.append(r)
+    return (
+        jnp.concatenate(lefts, axis=1),
+        jnp.concatenate(rights, axis=1),
+        len(groups),
+    )
+
+
+def _tile_cross(left_i, right_j, n_packs):
+    """Compensated Xs_i @ Xs_j.T from packed bf16 blocks (f32 out)."""
+    f32 = jnp.float32
+    w = left_i.shape[1] // n_packs
+    acc = None
+    for g in range(n_packs):
+        li = left_i[:, g * w : (g + 1) * w]
+        rj = right_j[:, g * w : (g + 1) * w]
+        c = jnp.dot(li, rj.T, preferred_element_type=f32)
+        acc = c if acc is None else acc + c
+    return acc
+
+
+def _tile_d2(spec, left_i, right_j, nhi_i, nlo_i, nhi_j, nlo_j):
+    cross = _tile_cross(left_i, right_j, spec.n_packs)
+    ni = nhi_i[:, 0] + nlo_i[:, 0]
+    nj = nhi_j[:, 0] + nlo_j[:, 0]
     return jnp.maximum(ni[:, None] + nj[None, :] - 2.0 * cross, 0.0)
 
 
@@ -121,11 +162,13 @@ def _tile_drho_dd2(spec: _Spec, d2):
     return -1.5 * jnp.exp(-_SQRT3 * r)
 
 
-def _matvec_kernel(spec: _Spec, p_ref, xih_ref, xil_ref, xjh_ref, xjl_ref,
-                   out_ref, acc_ref, comp_ref):
+def _matvec_kernel(spec: _Spec, p_ref, li_ref, nhi_i_ref, nlo_i_ref,
+                   rj_ref, nhi_j_ref, nlo_j_ref, out_ref, acc_ref, comp_ref):
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
-    kt = _tile_rho(spec, _tile_d2(xih_ref[:], xil_ref[:], xjh_ref[:], xjl_ref[:]))
+    d2 = _tile_d2(spec, li_ref[:], rj_ref[:], nhi_i_ref[:], nlo_i_ref[:],
+                  nhi_j_ref[:], nlo_j_ref[:])
+    kt = _tile_rho(spec, d2)
     contrib = jnp.dot(p_ref[:], kt, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
 
@@ -147,27 +190,25 @@ def _matvec_kernel(spec: _Spec, p_ref, xih_ref, xil_ref, xjh_ref, xjl_ref,
         out_ref[:] = acc_ref[:]
 
 
-def _ls_grad_kernel(spec: _Spec, p_ref, g_ref, xih_ref, xil_ref, xjh_ref,
-                    xjl_ref, out_ref):
+def _ls_grad_kernel(spec: _Spec, p_ref, g_ref, li_ref, nhi_i_ref, nlo_i_ref,
+                    xi_ref, rj_ref, nhi_j_ref, nlo_j_ref, xj_ref, out_ref):
     j = pl.program_id(0)
     i = pl.program_id(1)
-    kp = _tile_drho_dd2(
-        spec, _tile_d2(xih_ref[:], xil_ref[:], xjh_ref[:], xjl_ref[:])
-    )  # [bi, bj]
+    d2 = _tile_d2(spec, li_ref[:], rj_ref[:], nhi_i_ref[:], nlo_i_ref[:],
+                  nhi_j_ref[:], nlo_j_ref[:])
+    kp = _tile_drho_dd2(spec, d2)  # [bi, bj]
     # m_ij = p_i g_j rho'_ij  (B = 1)
     m = (p_ref[0, :][:, None] * g_ref[0, :][None, :]) * kp
-    xi = xih_ref[:]  # hi part suffices for gradient accuracy
-    xj = xjh_ref[:]
+    xi = xi_ref[:]  # f32 scaled coords suffice for gradient accuracy
+    xj = xj_ref[:]
     # sum_ij m_ij (xs_id - xs_jd)^2
     #   = rowsum(m) . xi^2 + colsum(m) . xj^2 - 2 sum_i xi_d (m @ xj)_id
+    hi_p = jax.lax.Precision.HIGHEST
     t1 = jnp.dot(jnp.sum(m, axis=1)[None, :], xi * xi,
-                 preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # [1, D]
+                 preferred_element_type=jnp.float32, precision=hi_p)
     t2 = jnp.dot(jnp.sum(m, axis=0)[None, :], xj * xj,
-                 preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # [1, D]
-    u = jnp.dot(m, xj, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # [bi, D]
+                 preferred_element_type=jnp.float32, precision=hi_p)
+    u = jnp.dot(m, xj, preferred_element_type=jnp.float32, precision=hi_p)
     t3 = jnp.sum(xi * u, axis=0)[None, :]  # [1, D]
     partial = t1 + t2 - 2.0 * t3
 
@@ -182,33 +223,68 @@ def _ls_grad_kernel(spec: _Spec, p_ref, g_ref, xih_ref, xil_ref, xjh_ref,
         out_ref[:] += partial
 
 
-def _prepare(spec: _Spec, X, ls):
-    """Lengthscale-scale in fp64, hi/lo split, pad rows to tile multiples."""
-    bmax = max(spec.block_i, spec.block_j)
+def _pad_rows(a, n_pad):
+    return a if a.shape[0] == n_pad else jnp.pad(a, ((0, n_pad - a.shape[0]), (0, 0)))
+
+
+def _pad_cols(a, n_pad):
+    return a if a.shape[1] == n_pad else jnp.pad(a, ((0, 0), (0, n_pad - a.shape[1])))
+
+
+class _Prepared(NamedTuple):
+    left: jnp.ndarray    # [N_pad, P] bf16 packed splits
+    right: jnp.ndarray   # [N_pad, P] bf16 packed splits
+    nhi: jnp.ndarray     # [N_pad, 1] f32 squared-norm hi
+    nlo: jnp.ndarray     # [N_pad, 1] f32 squared-norm lo
+    xhi: jnp.ndarray     # [N_pad, D] f32 scaled coords (for the ls gradient)
+    n_pad: int
+    n_packs: int
+
+
+def _prepare(block_i, block_j, X, ls) -> _Prepared:
+    """Lengthscale-scale in fp64, bf16-split pack, fp64 norms as f32 hi/lo,
+    pad rows to tile multiples."""
+    bmax = max(block_i, block_j)
     n_pad = int(np.ceil(X.shape[0] / bmax) * bmax)
     Xs = X / ls
-    hi, lo = split_hi_lo(Xs)
-    return _pad_rows(hi, n_pad), _pad_rows(lo, n_pad), n_pad
+    left, right, n_packs = _pack_lr(Xs)
+    norms = jnp.sum(Xs.astype(jnp.float64) * Xs.astype(jnp.float64), axis=1,
+                    keepdims=True) if Xs.dtype == jnp.float64 else jnp.sum(
+        Xs * Xs, axis=1, keepdims=True)
+    nhi, nlo = split_hi_lo(norms)
+    xhi = Xs.astype(jnp.float32)
+    return _Prepared(
+        left=_pad_rows(left, n_pad),
+        right=_pad_rows(right, n_pad),
+        nhi=_pad_rows(nhi, n_pad),
+        nlo=_pad_rows(nlo, n_pad),
+        xhi=_pad_rows(xhi, n_pad),
+        n_pad=n_pad,
+        n_packs=n_packs,
+    )
 
 
 def _matvec_impl(spec: _Spec, X, var, ls, p):
     n = X.shape[0]
     B = p.shape[0]
-    hi, lo, n_pad = _prepare(spec, X, ls)
+    prep = _prepare(spec.block_i, spec.block_j, X, ls)
+    spec = spec._replace(n_packs=prep.n_packs)
     bi, bj = spec.block_i, spec.block_j
-    D = hi.shape[1]
-    pf = _pad_cols(p.astype(jnp.float32), n_pad)
+    P = prep.left.shape[1]
+    pf = _pad_cols(p.astype(jnp.float32), prep.n_pad)
 
     out = pl.pallas_call(
         functools.partial(_matvec_kernel, spec),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
-        grid=(n_pad // bj, n_pad // bi),
+        out_shape=jax.ShapeDtypeStruct((B, prep.n_pad), jnp.float32),
+        grid=(prep.n_pad // bj, prep.n_pad // bi),
         in_specs=[
             pl.BlockSpec((B, bi), lambda j, i: (i * 0, i)),   # p tile
-            pl.BlockSpec((bi, D), lambda j, i: (i, i * 0)),   # Xi hi
-            pl.BlockSpec((bi, D), lambda j, i: (i, i * 0)),   # Xi lo
-            pl.BlockSpec((bj, D), lambda j, i: (j, j * 0)),   # Xj hi
-            pl.BlockSpec((bj, D), lambda j, i: (j, j * 0)),   # Xj lo
+            pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # left_i
+            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),   # nhi_i
+            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),   # nlo_i
+            pl.BlockSpec((bj, P), lambda j, i: (j, j * 0)),   # right_j
+            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),   # nhi_j
+            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),   # nlo_j
         ],
         out_specs=pl.BlockSpec((B, bj), lambda j, i: (j * 0, j)),
         scratch_shapes=[
@@ -216,33 +292,40 @@ def _matvec_impl(spec: _Spec, X, var, ls, p):
             pltpu.VMEM((B, bj), jnp.float32),
         ],
         interpret=spec.interpret,
-    )(pf, hi, lo, hi, lo)
+    )(pf, prep.left, prep.nhi, prep.nlo, prep.right, prep.nhi, prep.nlo)
     # variance is a pure prefactor of both families: apply outside, in fp64.
     return var * out[:, :n].astype(p.dtype)
 
 
 def _ls_grad_impl(spec: _Spec, X, var, ls, p, g):
-    hi, lo, n_pad = _prepare(spec, X, ls)
+    prep = _prepare(spec.block_i, spec.block_j, X, ls)
+    spec = spec._replace(n_packs=prep.n_packs)
     bi, bj = spec.block_i, spec.block_j
-    D = hi.shape[1]
-    pf = _pad_cols(p.astype(jnp.float32), n_pad)
-    gf = _pad_cols(g.astype(jnp.float32), n_pad)
+    P = prep.left.shape[1]
+    D = prep.xhi.shape[1]
+    pf = _pad_cols(p.astype(jnp.float32), prep.n_pad)
+    gf = _pad_cols(g.astype(jnp.float32), prep.n_pad)
 
     acc = pl.pallas_call(
         functools.partial(_ls_grad_kernel, spec),
         out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
-        grid=(n_pad // bj, n_pad // bi),
+        grid=(prep.n_pad // bj, prep.n_pad // bi),
         in_specs=[
             pl.BlockSpec((1, bi), lambda j, i: (i * 0, i)),   # p tile
             pl.BlockSpec((1, bj), lambda j, i: (j * 0, j)),   # g tile
-            pl.BlockSpec((bi, D), lambda j, i: (i, i * 0)),
-            pl.BlockSpec((bi, D), lambda j, i: (i, i * 0)),
-            pl.BlockSpec((bj, D), lambda j, i: (j, j * 0)),
-            pl.BlockSpec((bj, D), lambda j, i: (j, j * 0)),
+            pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # left_i
+            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),
+            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),
+            pl.BlockSpec((bi, D), lambda j, i: (i, i * 0)),   # xi
+            pl.BlockSpec((bj, P), lambda j, i: (j, j * 0)),   # right_j
+            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),
+            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),
+            pl.BlockSpec((bj, D), lambda j, i: (j, j * 0)),   # xj
         ],
         out_specs=pl.BlockSpec((1, D), lambda j, i: (j * 0, i * 0)),
         interpret=spec.interpret,
-    )(pf, gf, hi, lo, hi, lo)
+    )(pf, gf, prep.left, prep.nhi, prep.nlo, prep.xhi, prep.right, prep.nhi,
+      prep.nlo, prep.xhi)
     # d(d2)/d(ls_d) = -(2/ls_d)(xs_id - xs_jd)^2 ; kernel accumulated
     # sum_ij m (xs_i - xs_j)^2 with unit-variance rho' => scale by var here.
     return acc[0].astype(ls.dtype) * (-2.0 * var / ls)
@@ -290,7 +373,7 @@ def kernel_matvec(kernel, X, p, block_i: int = 512, block_j: int = 512,
     if interpret is None:
         interpret = not _on_tpu()
     spec = _Spec(family=family, block_i=block_i, block_j=block_j,
-                 interpret=interpret)
+                 interpret=interpret, n_packs=1)
     return _streaming_matvec(
         spec, X, kernel.variance.value, kernel.lengthscales.value, p
     )

@@ -1,0 +1,133 @@
+"""Tests for sweep runner, plotting data layer, names, profiling."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cglb_tpu.experiments.names import short_names
+from cglb_tpu.experiments.plotting import (
+    ExpData,
+    Plotter,
+    TablePrinter,
+    load_experiments,
+)
+from cglb_tpu.experiments.sweep import expand_grid, run_sweep
+from cglb_tpu.utils.profiling import PhaseTimer
+from cglb_tpu.utils.serialization import dump_json
+
+
+def test_expand_grid_cross_product():
+    spec = {
+        "sweep": {
+            "cmd": "echo {dataset} {M} {seed}",
+            "grid": {"dataset": ["a", "b"], "M": [1, 2], "seed": [7]},
+        }
+    }
+    points = expand_grid(spec)
+    assert len(points) == 4
+    assert {(p["dataset"], p["M"]) for p in points} == {
+        ("a", 1), ("a", 2), ("b", 1), ("b", 2)
+    }
+    assert all("uid" in p for p in points)
+
+
+def test_sweep_dry_run(tmp_path, capsys):
+    grid = tmp_path / "grid.toml"
+    grid.write_text(
+        '[sweep]\ncmd = "echo {x}"\n[sweep.grid]\nx = [1, 2, 3]\n'
+    )
+    rc = run_sweep(grid, dry_run=True)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("echo") == 3
+
+
+def test_sweep_runs_commands(tmp_path):
+    marker = tmp_path / "out.txt"
+    grid = tmp_path / "grid.toml"
+    grid.write_text(
+        f'[sweep]\ncmd = "touch {marker}-{{x}}"\n[sweep.grid]\nx = [1, 2]\n'
+    )
+    rc = run_sweep(grid, num_proc=2)
+    assert rc == 0
+    assert Path(f"{marker}-1").exists() and Path(f"{marker}-2").exists()
+
+
+def _write_fake_run(root, dataset, uid, seed, n_points=30):
+    d = Path(root) / dataset / uid / str(seed)
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(seed)
+    t = np.cumsum(rng.uniform(0.5, 1.5, n_points))
+    rmse = 1.0 / (1 + 0.2 * np.arange(n_points)) + 0.01 * rng.normal(
+        size=n_points
+    )
+    logs = {
+        "iteration": list(range(0, n_points * 20, 20)),
+        "elapsed_time": t.tolist(),
+        "test/rmse": rmse.tolist(),
+        "loss": (100 - 2 * np.arange(n_points)).tolist(),
+        "cg/steps-per-feval": rng.integers(1, 40, n_points * 3).tolist(),
+    }
+    dump_json(logs, d / "logs.json")
+    dump_json(
+        {"loss": float(logs["loss"][-1]), "test/rmse": float(rmse[-1]),
+         "test/nlpd": 0.5, "id": str(d)},
+        d / "results.json",
+    )
+
+
+def test_load_experiments_and_table(tmp_path):
+    for seed in (1, 2, 3):
+        _write_fake_run(tmp_path, "Wilson_pol", "cglb-Matern32-fp64-M1024", seed)
+        _write_fake_run(tmp_path, "Wilson_pol", "sgpr-Matern32-fp64-M1024", seed)
+    exps = load_experiments(tmp_path)
+    assert len(exps) == 6
+    cglb_runs = [e for e in exps if e.model == "cglb"]
+    assert len(cglb_runs) == 3
+    assert cglb_runs[0].num_inducing == 1024
+    assert cglb_runs[0].dataset == "Wilson_pol"
+
+    df = TablePrinter(exps).dataframe()
+    assert len(df) == 2  # two uids, median over seeds
+    s = TablePrinter(exps).print("markdown")
+    assert "cglb" in s
+
+
+def test_plotter_writes_figures(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    for seed in (1, 2):
+        _write_fake_run(tmp_path, "Wilson_pol", "cglb-Matern32-fp64-M512", seed)
+    exps = load_experiments(tmp_path)
+    ax = Plotter(exps).plot_metric("Wilson_pol", "test/rmse")
+    assert len(ax.lines) >= 1
+    ax2 = Plotter(exps).plot_cg_steps("Wilson_pol")
+    assert len(ax2.lines) >= 1
+
+
+def test_short_names():
+    names = short_names([
+        "logs/Wilson_pol/cglb-Matern32-fp64-M2048/999",
+        "logs/Wilson_pol/sgprn2m-Matern32-fp64-M1024/1",
+    ])
+    assert names["logs/Wilson_pol/cglb-Matern32-fp64-M2048/999"] == "CGLB M=2048"
+    assert (
+        names["logs/Wilson_pol/sgprn2m-Matern32-fp64-M1024/1"]
+        == "SGPR-N2M M=1024"
+    )
+
+
+def test_phase_timer():
+    pt = PhaseTimer()
+    with pt.phase("a"):
+        sum(range(10000))
+    with pt.phase("a"):
+        pass
+    with pt.phase("b"):
+        pass
+    assert pt.counts["a"] == 2
+    assert "a" in pt.report()
