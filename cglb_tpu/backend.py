@@ -291,6 +291,11 @@ class Jax:
                 loss_fn, model.params, carry, num_steps, logger,
                 feval_stats_fn=stats_fn,
             )
+        elif optimizer == "lbfgs_native":
+            res = _training.native_lbfgs_minimize(
+                loss_fn, model.params, carry, num_steps, logger,
+                feval_stats_fn=stats_fn,
+            )
         elif optimizer.startswith("adam"):
             lr = float(optimizer.split("_", maxsplit=1)[1])
             res = _training.adam_minimize(

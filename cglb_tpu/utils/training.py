@@ -28,7 +28,8 @@ import scipy.optimize
 from . import flatten as _fl
 from .logging import Logger
 
-__all__ = ["scipy_minimize", "adam_minimize", "lbfgs_minimize", "OptimizeResult"]
+__all__ = ["scipy_minimize", "adam_minimize", "lbfgs_minimize",
+           "native_lbfgs_minimize", "OptimizeResult"]
 
 # loss_fn(params, carry_state) -> (loss, new_carry_state); carry may be None.
 LossFn = Callable[[Any, Any], Tuple[jnp.ndarray, Any]]
@@ -155,6 +156,67 @@ def adam_minimize(
             logger(i)
     return OptimizeResult(params=params, state=state, num_iters=num_steps,
                          final_loss=float(loss))
+
+
+def native_lbfgs_minimize(
+    loss_fn: LossFn,
+    params,
+    state,
+    num_steps: int,
+    logger: Optional[Logger] = None,
+    history: int = 15,
+    feval_stats_fn: Callable[[Any], dict] = None,
+) -> OptimizeResult:
+    """First-party C++ L-BFGS driver (native/lbfgs.cpp) with strong-Wolfe line
+    search: replaces scipy's Fortran L-BFGS-B in the same host-driver role
+    (device computes value+grad; host computes the O(n*history) update)."""
+    from .native import NativeLBFGS
+
+    vg = _jit_value_and_grad(loss_fn)
+    unflatten = _fl.make_unflatten(params)
+    x = _fl.flatten_trainable(params)
+    opt = NativeLBFGS(len(x), history=history)
+
+    holder = {"params": params, "state": state, "loss": np.inf}
+
+    def evaluate(xv):
+        p = unflatten(xv)
+        (loss, new_state), grads = vg(p, holder["state"])
+        holder["params"] = p
+        holder["state"] = new_state
+        holder["loss"] = float(loss)
+        if logger is not None and feval_stats_fn is not None:
+            logger.log_for_feval(**feval_stats_fn(new_state))
+        return float(loss), _fl.flatten_grads_like(p, grads)
+
+    if logger is not None:
+        logger.timer.reset()
+        logger.timer.start()
+
+    iters = 0
+    max_fevals = max(num_steps * 12, num_steps + 10)
+    fevals = 0
+    while iters < num_steps and fevals < max_fevals:
+        f, g = evaluate(x)
+        fevals += 1
+        status, x = opt.step(x, f, g)
+        if status == NativeLBFGS.ACCEPTED:
+            iters += 1
+            if logger is not None:
+                logger(iters)
+        elif status in (NativeLBFGS.CONVERGED, NativeLBFGS.FAIL):
+            break
+
+    best_x = opt.best_x if iters > 0 else x
+    holder["params"] = unflatten(best_x)
+    (loss, new_state), _ = vg(holder["params"], holder["state"])
+    holder["state"] = new_state
+    return OptimizeResult(
+        params=holder["params"],
+        state=holder["state"],
+        num_iters=iters,
+        final_loss=float(loss),
+    )
 
 
 def lbfgs_minimize(
