@@ -22,15 +22,15 @@ import numpy as np
 
 
 def _bench(fn, *args, iters=20, warmup=2):
-    import jax
-
+    """Wall-clock per call.  fn must return a SCALAR; float() forces the
+    device computation (block_until_ready is unreliable on the experimental
+    TPU platform used here, and large-array readback would measure the host
+    transfer instead)."""
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = float(fn(*args))
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = float(fn(*args))
     return (time.time() - t0) / iters
 
 
@@ -55,17 +55,37 @@ def main():
     p = jnp.asarray(rng.normal(size=(1, n)))
     kern = k.make_kernel("Matern32", d, dtype=np.float64)
 
-    # --- streaming matvec rate ---
-    f_stream = jax.jit(lambda p: mv.kernel_matvec(kern, X, p, blk, blk))
-    t_stream = _bench(f_stream, p)
+    # --- streaming matvec rate (10 chained matvecs inside one jit, so the
+    # packing prep is hoisted exactly as in the CG loop) ---
+    chain = 10
+
+    def chained(p):
+        op = mv.make_streaming_operator(kern, X, jnp.asarray(0.0), blk, blk)
+
+        def body(i, q):
+            return op(q) / n
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, p))
+
+    f_stream = jax.jit(chained)
+    t_stream = _bench(f_stream, p, iters=5) / chain
     tflops = 2.0 * n * n / t_stream / 1e12
 
-    # --- dense fp64 XLA baseline rate (smaller N to fit HBM; compare rates) ---
-    nb = min(n, 8192)
+    # --- dense fp64 XLA baseline rate: K materialized once, matvec per iter
+    # (the reference TF backend's scheme, memory-bound on reading K).  Run at
+    # a reduced N that fits HBM alongside K and compare per-element rates. ---
+    nb = min(n, 8192)  # dense K build intermediates are fp64 N^2 each
     Xb = X[:nb]
     pb = p[:, :nb]
-    f_dense = jax.jit(lambda p: p @ k.K(kern, Xb))
-    t_dense = _bench(f_dense, pb, iters=5)
+
+    def dense_chained(p):
+        Kmat = k.K(kern, Xb)
+
+        def body(i, q):
+            return (q @ Kmat) / nb
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, p))
+
+    f_dense = jax.jit(dense_chained)
+    t_dense = _bench(f_dense, pb, iters=3) / chain
     dense_rate = 2.0 * nb * nb / t_dense
     vs_baseline = (2.0 * n * n / t_stream) / dense_rate
 
@@ -94,13 +114,13 @@ def main():
         )
         return v, stats
 
-    v, stats = run_cg(b)
-    jax.block_until_ready(v)
+    _, stats = run_cg(b)
+    steps = int(stats.steps)  # forces the first run
     t0 = time.time()
-    v, stats = run_cg(b)
-    jax.block_until_ready(v)
+    _, stats = run_cg(b)
+    steps = int(stats.steps)
     t_cg = time.time() - t0
-    iters_per_s = int(stats.steps) / t_cg
+    iters_per_s = steps / t_cg
 
     result = {
         "metric": "cg_matvec_tflops",

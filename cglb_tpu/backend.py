@@ -46,12 +46,17 @@ class Model:
     CG warm-start vector ``v0`` plus last CG stats (the reference keeps these as
     mutable model variables: tensorflow/models.py:47-56)."""
 
-    def __init__(self, kind: str, params, data, run_cfg: Optional[_RunCfg] = None):
+    # streaming matvec kicks in above this N when matvec mode is "auto"
+    STREAMING_THRESHOLD = 8192
+
+    def __init__(self, kind: str, params, data, run_cfg: Optional[_RunCfg] = None,
+                 matvec: str = "auto"):
         self.kind = kind
         self.params = params
         X, Y = data
         self.data = (jnp.asarray(X), jnp.asarray(Y))
         self.run_cfg = run_cfg
+        self.matvec_mode = matvec
         if kind in _CGLB_KINDS:
             self.v0 = _cglb.init_v0(
                 self.data[0].shape[0], self.data[1].shape[1],
@@ -79,14 +84,36 @@ class Model:
                 return -_sgpr.elbo_n2m(params, X, Y), state
         elif kind in _CGLB_KINDS:
             cfg = self.run_cfg
+            make_op = self._matvec_factory()
             def fn(params, carry):
                 # carry is either the raw v0 array or last feval's CGLBAux
                 v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
-                l, aux = _cglb.loss(params, X, Y, v0, cfg)
+                matvec = None
+                if make_op is not None:
+                    matvec = make_op(params.kernel, X,
+                                     params.noise_variance.value)
+                l, aux = _cglb.loss(params, X, Y, v0, cfg, matvec=matvec)
                 return l, aux
         else:
             raise NotImplementedError(kind)
         return fn
+
+    def _matvec_factory(self):
+        """None -> dense K materialization (reference TF backend behavior);
+        else a (kernel, X, sigma_sq) -> matvec builder using the streaming
+        Pallas operator (the KeOps-replacement; reference --keops)."""
+        mode = self.matvec_mode
+        n = self.data[0].shape[0]
+        if mode == "dense":
+            return None
+        if mode == "auto" and n < self.STREAMING_THRESHOLD:
+            return None
+        from .ops import matvec_pallas as _mvp
+
+        def make_op(kernel, X, sigma_sq):
+            return _mvp.make_streaming_operator(kernel, X, sigma_sq)
+
+        return make_op
 
     def _carry_in(self):
         if self.kind in _CGLB_KINDS:
@@ -147,13 +174,20 @@ class Model:
             )
             return fn(self.params, Xnew)
         cfg = self.run_cfg
+        make_op = self._matvec_factory()
         key = f"predict_tol{cg_tolerance}"
-        fn = self._jit(
-            key,
-            lambda p, v0, xs: _cglb.predict_f(
-                p, X, Y, v0, xs, cfg, cg_tolerance=cg_tolerance
-            ),
-        )
+
+        def _predict(p, v0, xs):
+            matvec = (
+                make_op(p.kernel, X, p.noise_variance.value)
+                if make_op is not None
+                else None
+            )
+            return _cglb.predict_f(
+                p, X, Y, v0, xs, cfg, cg_tolerance=cg_tolerance, matvec=matvec
+            )
+
+        fn = self._jit(key, _predict)
         return fn(self.params, self.v0, Xnew)
 
     def predict_log_density(self, data, cg_tolerance: float = 1e-6):
@@ -172,10 +206,12 @@ class Jax:
     (reference: cglb/backend/backend.py:34-91)."""
 
     name = "jax"
+    matvec_mode = "auto"  # "auto" | "dense" | "streaming" (CLI --matvec)
 
     @classmethod
     def configure_backend(cls, **kwargs):
-        pass
+        if "matvec" in kwargs and kwargs["matvec"]:
+            cls.matvec_mode = kwargs["matvec"]
 
     @classmethod
     def set_default_float(cls, float_type: str):
@@ -218,7 +254,7 @@ class Jax:
                 kernel, noise_variance=p["noise_variance"],
                 output_dim=Y.shape[1], dtype=dtype,
             )
-            return Model("gpr", params, (X, Y))
+            return Model("gpr", params, (X, Y), matvec=cls.matvec_mode)
 
         Z = p["inducing_variable"](kernel, seed=seed)
         params = _sgpr.SGPRParams.create(
@@ -226,7 +262,7 @@ class Jax:
             output_dim=Y.shape[1], dtype=dtype,
         )
         if isinstance(model_cfg, _cfgs.SGPRN2MConfig):
-            return Model("sgprn2m", params, (X, Y))
+            return Model("sgprn2m", params, (X, Y), matvec=cls.matvec_mode)
         if isinstance(model_cfg, _cfgs.CGLBConfig):
             kind = {
                 _cfgs.CGLBN2MConfig: "cglbn2m",
@@ -238,8 +274,8 @@ class Jax:
                 vzero=p["vzero"],
                 logdet_variant=_CGLB_KINDS[kind],
             )
-            return Model(kind, params, (X, Y), run_cfg)
-        return Model("sgpr", params, (X, Y))
+            return Model(kind, params, (X, Y), run_cfg, matvec=cls.matvec_mode)
+        return Model("sgpr", params, (X, Y), matvec=cls.matvec_mode)
 
     # -- persistence --
 

@@ -232,25 +232,29 @@ def _pad_cols(a, n_pad):
 
 
 class _Prepared(NamedTuple):
+    """Packed device tensors consumed by the tile kernels.  Array-only pytree
+    so it can cross a custom_vjp boundary (cotangents are zeroed: the analytic
+    dls already accounts for the lengthscale dependence baked into these)."""
+
     left: jnp.ndarray    # [N_pad, P] bf16 packed splits
     right: jnp.ndarray   # [N_pad, P] bf16 packed splits
     nhi: jnp.ndarray     # [N_pad, 1] f32 squared-norm hi
     nlo: jnp.ndarray     # [N_pad, 1] f32 squared-norm lo
     xhi: jnp.ndarray     # [N_pad, D] f32 scaled coords (for the ls gradient)
-    n_pad: int
-    n_packs: int
 
 
-def _prepare(block_i, block_j, X, ls) -> _Prepared:
+def _prepare(block_i, block_j, X, ls):
     """Lengthscale-scale in fp64, bf16-split pack, fp64 norms as f32 hi/lo,
-    pad rows to tile multiples."""
+    pad rows to tile multiples.  EXPENSIVE relative to one tile pass (fp64
+    elementwise is emulated on TPU) — callers hoist it out of the CG loop via
+    make_streaming_operator, which runs it once per objective evaluation.
+
+    Returns (_Prepared, n_packs)."""
     bmax = max(block_i, block_j)
     n_pad = int(np.ceil(X.shape[0] / bmax) * bmax)
     Xs = X / ls
     left, right, n_packs = _pack_lr(Xs)
-    norms = jnp.sum(Xs.astype(jnp.float64) * Xs.astype(jnp.float64), axis=1,
-                    keepdims=True) if Xs.dtype == jnp.float64 else jnp.sum(
-        Xs * Xs, axis=1, keepdims=True)
+    norms = jnp.sum(Xs * Xs, axis=1, keepdims=True)
     nhi, nlo = split_hi_lo(norms)
     xhi = Xs.astype(jnp.float32)
     return _Prepared(
@@ -259,24 +263,25 @@ def _prepare(block_i, block_j, X, ls) -> _Prepared:
         nhi=_pad_rows(nhi, n_pad),
         nlo=_pad_rows(nlo, n_pad),
         xhi=_pad_rows(xhi, n_pad),
-        n_pad=n_pad,
-        n_packs=n_packs,
-    )
+    ), n_packs
 
 
-def _matvec_impl(spec: _Spec, X, var, ls, p):
-    n = X.shape[0]
+def _matvec_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, p):
+    """Unit-variance streaming matvec from prepacked tensors:
+    p [B, Ni] -> p @ rho(Xi, Xj) [B, Nj].  Rectangular: the row space (summed
+    over, where p lives) and the column space (output) may be different point
+    sets — the sharded large-N path slices the column space per device."""
+    ni_pad = rows.left.shape[0]
+    nj_pad = cols.left.shape[0]
     B = p.shape[0]
-    prep = _prepare(spec.block_i, spec.block_j, X, ls)
-    spec = spec._replace(n_packs=prep.n_packs)
     bi, bj = spec.block_i, spec.block_j
-    P = prep.left.shape[1]
-    pf = _pad_cols(p.astype(jnp.float32), prep.n_pad)
+    P = rows.left.shape[1]
+    pf = _pad_cols(p.astype(jnp.float32), ni_pad)
 
     out = pl.pallas_call(
         functools.partial(_matvec_kernel, spec),
-        out_shape=jax.ShapeDtypeStruct((B, prep.n_pad), jnp.float32),
-        grid=(prep.n_pad // bj, prep.n_pad // bi),
+        out_shape=jax.ShapeDtypeStruct((B, nj_pad), jnp.float32),
+        grid=(nj_pad // bj, ni_pad // bi),
         in_specs=[
             pl.BlockSpec((B, bi), lambda j, i: (i * 0, i)),   # p tile
             pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # left_i
@@ -292,24 +297,24 @@ def _matvec_impl(spec: _Spec, X, var, ls, p):
             pltpu.VMEM((B, bj), jnp.float32),
         ],
         interpret=spec.interpret,
-    )(pf, prep.left, prep.nhi, prep.nlo, prep.right, prep.nhi, prep.nlo)
-    # variance is a pure prefactor of both families: apply outside, in fp64.
-    return var * out[:, :n].astype(p.dtype)
+    )(pf, rows.left, rows.nhi, rows.nlo, cols.right, cols.nhi, cols.nlo)
+    return out
 
 
-def _ls_grad_impl(spec: _Spec, X, var, ls, p, g):
-    prep = _prepare(spec.block_i, spec.block_j, X, ls)
-    spec = spec._replace(n_packs=prep.n_packs)
+def _ls_grad_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, var,
+                       ls, p, g):
+    ni_pad = rows.left.shape[0]
+    nj_pad = cols.left.shape[0]
     bi, bj = spec.block_i, spec.block_j
-    P = prep.left.shape[1]
-    D = prep.xhi.shape[1]
-    pf = _pad_cols(p.astype(jnp.float32), prep.n_pad)
-    gf = _pad_cols(g.astype(jnp.float32), prep.n_pad)
+    P = rows.left.shape[1]
+    D = rows.xhi.shape[1]
+    pf = _pad_cols(p.astype(jnp.float32), ni_pad)
+    gf = _pad_cols(g.astype(jnp.float32), nj_pad)
 
     acc = pl.pallas_call(
         functools.partial(_ls_grad_kernel, spec),
         out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
-        grid=(prep.n_pad // bj, prep.n_pad // bi),
+        grid=(nj_pad // bj, ni_pad // bi),
         in_specs=[
             pl.BlockSpec((1, bi), lambda j, i: (i * 0, i)),   # p tile
             pl.BlockSpec((1, bj), lambda j, i: (j * 0, j)),   # g tile
@@ -324,67 +329,100 @@ def _ls_grad_impl(spec: _Spec, X, var, ls, p, g):
         ],
         out_specs=pl.BlockSpec((1, D), lambda j, i: (j * 0, i * 0)),
         interpret=spec.interpret,
-    )(pf, gf, prep.left, prep.nhi, prep.nlo, prep.xhi, prep.right, prep.nhi,
-      prep.nlo, prep.xhi)
+    )(pf, gf, rows.left, rows.nhi, rows.nlo, rows.xhi, cols.right, cols.nhi,
+      cols.nlo, cols.xhi)
     # d(d2)/d(ls_d) = -(2/ls_d)(xs_id - xs_jd)^2 ; kernel accumulated
     # sum_ij m (xs_i - xs_j)^2 with unit-variance rho' => scale by var here.
     return acc[0].astype(ls.dtype) * (-2.0 * var / ls)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _streaming_matvec(spec: _Spec, X, var, ls, p):
-    return _matvec_impl(spec, X, var, ls, p)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _streaming_matvec(spec: _Spec, n_out: int, rows: _Prepared,
+                      cols: _Prepared, var, ls, p):
+    """Differentiable streaming matvec p [B, Ni] -> p @ K(Xi, Xj) [B, n_out].
+
+    The preps carry the lengthscale dependence; their cotangents are zeroed
+    and the true d/dls is supplied analytically by the weighted-gradient
+    kernel, so gradients are correct as long as rows/cols == _prepare(X, ls)
+    (enforced by the public wrappers)."""
+    out = _matvec_from_prep(spec, rows, cols, p)
+    return var * out[:, :n_out].astype(p.dtype)
 
 
-def _streaming_fwd(spec, X, var, ls, p):
-    out = _matvec_impl(spec, X, var, ls, p)
-    return out, (X, var, ls, p, out)
+def _streaming_fwd(spec, n_out, rows, cols, var, ls, p):
+    out = _streaming_matvec(spec, n_out, rows, cols, var, ls, p)
+    return out, (rows, cols, var, ls, p, out)
 
 
-def _streaming_bwd(spec, res, gout):
-    X, var, ls, p, out = res
-    dX = jnp.zeros_like(X)  # training inputs are constants
+def _streaming_bwd(spec, n_out, res, gout):
+    rows, cols, var, ls, p, out = res
+    drows = jax.tree_util.tree_map(jnp.zeros_like, rows)
+    dcols = jax.tree_util.tree_map(jnp.zeros_like, cols)
     dvar = jnp.sum(out * gout) / var
-    dp = _matvec_impl(spec, X, var, ls, gout)  # K symmetric
+    # dp = g K^T: swap row/column spaces
+    n_in = p.shape[1]
+    dp = var * _matvec_from_prep(spec, cols, rows, gout)[:, :n_in].astype(
+        p.dtype
+    )
     if p.shape[0] == 1:
-        dls = _ls_grad_impl(spec, X, var, ls, p, gout)
+        dls = _ls_grad_from_prep(spec, rows, cols, var, ls, p, gout)
     else:
         dls = sum(
-            _ls_grad_impl(spec, X, var, ls, p[b : b + 1], gout[b : b + 1])
+            _ls_grad_from_prep(spec, rows, cols, var, ls, p[b : b + 1],
+                               gout[b : b + 1])
             for b in range(p.shape[0])
         )
-    return dX, dvar, dls, dp
+    return drows, dcols, dvar, dls, dp
 
 
 _streaming_matvec.defvjp(_streaming_fwd, _streaming_bwd)
+
+
+def _family_of(kernel) -> str:
+    if isinstance(kernel, _k.SquaredExponential):
+        return "rbf"
+    if isinstance(kernel, _k.Matern32):
+        return "mat32"
+    raise NotImplementedError(type(kernel))
 
 
 def kernel_matvec(kernel, X, p, block_i: int = 512, block_j: int = 512,
                   interpret: bool = None) -> jnp.ndarray:
     """p [B, N] -> p @ K(X, X) [B, N], K streamed tile-by-tile (never in HBM).
 
+    Convenience wrapper that packs X per call; hot loops should use
+    make_streaming_operator (prep hoisted out of the CG iterations).
     Differentiable w.r.t. kernel parameters and p (custom_vjp)."""
-    if isinstance(kernel, _k.SquaredExponential):
-        family = "rbf"
-    elif isinstance(kernel, _k.Matern32):
-        family = "mat32"
-    else:
-        raise NotImplementedError(type(kernel))
     if interpret is None:
         interpret = not _on_tpu()
-    spec = _Spec(family=family, block_i=block_i, block_j=block_j,
+    var = kernel.variance.value
+    ls = kernel.lengthscales.value
+    spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
                  interpret=interpret, n_packs=1)
-    return _streaming_matvec(
-        spec, X, kernel.variance.value, kernel.lengthscales.value, p
-    )
+    prep, n_packs = _prepare(block_i, block_j, X, ls)
+    spec = spec._replace(n_packs=n_packs)
+    return _streaming_matvec(spec, X.shape[0], prep, prep, var, ls, p)
 
 
 def make_streaming_operator(kernel, X, sigma_sq, block_i: int = 512,
                             block_j: int = 512, interpret: bool = None):
-    """Matvec closure for (K + sigma^2 I): streaming K + exact fp64 diagonal."""
+    """Matvec closure for (K + sigma^2 I): streaming K + exact fp64 diagonal.
+
+    The bf16 packing / norm precomputation runs ONCE here (outside the CG
+    while_loop — fp64 elementwise prep is emulated and would otherwise
+    dominate each iteration)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    var = kernel.variance.value
+    ls = kernel.lengthscales.value
+    spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
+                 interpret=interpret, n_packs=1)
+    prep, n_packs = _prepare(block_i, block_j, X, ls)
+    spec = spec._replace(n_packs=n_packs)
+    n = X.shape[0]
 
     def matvec(p):
-        return kernel_matvec(kernel, X, p, block_i, block_j, interpret) + (
+        return _streaming_matvec(spec, n, prep, prep, var, ls, p) + (
             sigma_sq * p
         )
 

@@ -1,0 +1,81 @@
+"""Sharded streaming kernel matvec: Pallas tiles + shard_map over the mesh.
+
+The large-N story (SURVEY.md sections 5.7-5.8): the reference streams K@v on
+one GPU via KeOps and has no multi-device matvec.  Here the column space of
+K(X, X) is sharded over the mesh's data axis; each device runs the streaming
+Pallas kernel on its column block against the full row space:
+
+    out[:, cols_d] = p @ K(X_all, X_cols_d)      (per device, K never in HBM)
+
+then the result is reassembled over ICI by shard_map's output spec.  Memory
+per chip: the packed representation of X (~70 bytes/row) + CG vectors —
+houseelectric (N~1.6M) is ~120 MB/chip of packed X, far under HBM, with the
+O(N^2) compute split across the slice.
+
+The packed tensors are prepared ONCE per operator construction (outside the
+CG while_loop); the per-device column slice is what shard_map hands each
+device.  Gradients: the custom_vjp inside shard_map yields per-device partial
+var/ls cotangents that shard_map's reverse psums automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import matvec_pallas as _mv
+from .mesh import DATA_AXIS
+
+__all__ = ["make_sharded_streaming_operator"]
+
+
+def make_sharded_streaming_operator(mesh: Mesh, kernel, X, sigma_sq,
+                                    block_i: int = 512, block_j: int = 512,
+                                    interpret: bool = None) -> Callable:
+    """Matvec closure p [B, N] -> p (K + s2 I) [B, N], column-sharded.
+
+    The padded N must be divisible by mesh_size * block_j (pad the data rows
+    upstream if needed).
+    """
+    if interpret is None:
+        interpret = not _mv._on_tpu()
+    n_dev = mesh.shape[DATA_AXIS]
+    n = X.shape[0]
+    var = kernel.variance.value
+    ls = kernel.lengthscales.value
+    spec = _mv._Spec(family=_mv._family_of(kernel), block_i=block_i,
+                     block_j=block_j, interpret=interpret, n_packs=1)
+    prep, n_packs = _mv._prepare(block_i, block_j, X, ls)
+    spec = spec._replace(n_packs=n_packs)
+    n_pad = prep.left.shape[0]
+    if n_pad % (n_dev * block_j) != 0:
+        raise ValueError(
+            f"padded N ({n_pad}) must divide mesh_size*block_j "
+            f"({n_dev}*{block_j}); pad the dataset rows upstream"
+        )
+    cols_per_dev = n_pad // n_dev
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, None), P(DATA_AXIS, None), P(), P()),
+        out_specs=P(None, DATA_AXIS),
+        # pallas_call outputs carry no varying-mesh-axis metadata
+        check_vma=False,
+    )
+    def _sharded(p, rows, cols, var_, ls_):
+        return _mv._streaming_matvec(
+            spec, cols_per_dev, rows, cols, var_, ls_, p
+        )
+
+    def matvec(p):
+        pf = _mv._pad_cols(p, n_pad)
+        out = _sharded(pf, prep, prep, var, ls)
+        return out[:, :n].astype(p.dtype) + sigma_sq * p
+
+    return matvec
