@@ -35,6 +35,15 @@ def _bench(fn, *args, iters=20, warmup=2):
 
 
 def main():
+    import faulthandler
+    import sys
+
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
+    def stage(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+              flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +64,7 @@ def main():
     p = jnp.asarray(rng.normal(size=(1, n)))
     kern = k.make_kernel("Matern32", d, dtype=np.float64)
 
+    stage(f"data ready n={n} m={m} blk={blk}")
     # --- streaming matvec rate (10 chained matvecs inside one jit, so the
     # packing prep is hoisted exactly as in the CG loop) ---
     chain = 10
@@ -69,6 +79,7 @@ def main():
     f_stream = jax.jit(chained)
     t_stream = _bench(f_stream, p, iters=5) / chain
     tflops = 2.0 * n * n / t_stream / 1e12
+    stage(f"streaming matvec {t_stream*1e3:.2f} ms")
 
     # --- dense fp64 XLA baseline rate: K materialized once, matvec per iter
     # (the reference TF backend's scheme, memory-bound on reading K).  Run at
@@ -87,6 +98,7 @@ def main():
     f_dense = jax.jit(dense_chained)
     t_dense = _bench(f_dense, pb, iters=3) / chain
     dense_rate = 2.0 * nb * nb / t_dense
+    stage(f"dense baseline {t_dense*1e3:.2f} ms at nb={nb}")
     vs_baseline = (2.0 * n * n / t_stream) / dense_rate
 
     # --- full preconditioned CG iteration rate at M inducing points ---
@@ -97,7 +109,9 @@ def main():
     ]
     params = sgpr_mod.SGPRParams.create(kern, np.asarray(Z), noise_variance=0.1,
                                         dtype=np.float64)
-    ct = sgpr_mod.common_terms(params, X)
+    stage("building common terms")
+    ct = jax.jit(lambda pp: sgpr_mod.common_terms(pp, X))(params)
+    stage("common terms done")
     precond = pc.NystromPreconditioner(
         A=ct.A, LB=ct.LB, sigma_sq=params.noise_variance.value
     )
@@ -114,8 +128,10 @@ def main():
         )
         return v, stats
 
+    stage("compiling CG")
     _, stats = run_cg(b)
     steps = int(stats.steps)  # forces the first run
+    stage(f"CG first run done steps={steps}")
     t0 = time.time()
     _, stats = run_cg(b)
     steps = int(stats.steps)

@@ -190,6 +190,28 @@ class Model:
         fn = self._jit(key, _predict)
         return fn(self.params, self.v0, Xnew)
 
+    def predict_f_batched(self, Xnew, batch_size: int = 100_000,
+                          cg_tolerance: Optional[float] = 1e-3):
+        """Batched posterior prediction (reference batches at 1e5/1e6 rows:
+        pytorch/interface.py:580,637).  Pads the last batch so one compiled
+        program serves every batch."""
+        Xnew = jnp.asarray(Xnew)
+        n = Xnew.shape[0]
+        if n <= batch_size:
+            return self.predict_f(Xnew, cg_tolerance=cg_tolerance)
+        means, vars_ = [], []
+        for start in range(0, n, batch_size):
+            chunk = Xnew[start : start + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0)), mode="edge")
+            m, v = self.predict_f(chunk, cg_tolerance=cg_tolerance)
+            if pad:
+                m, v = m[:-pad], v[:-pad]
+            means.append(m)
+            vars_.append(v)
+        return jnp.concatenate(means, 0), jnp.concatenate(vars_, 0)
+
     def predict_log_density(self, data, cg_tolerance: float = 1e-6):
         Xs, Ys = (jnp.asarray(a) for a in data)
         f_mean, f_var = self.predict_f(
@@ -331,6 +353,19 @@ class Jax:
             res = _training.native_lbfgs_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
                 feval_stats_fn=stats_fn,
+            )
+        elif optimizer == "staged" and model.kind == "gpr":
+            # reference exact-GP baseline schedule (pytorch/interface.py:326-442)
+            from .models import gpr as _gpr_mod
+
+            def builder(Xs, Ys):
+                def fn(params, state):
+                    return -_gpr_mod.log_marginal_likelihood(params, Xs, Ys), state
+                return fn
+
+            X, Y = model.data
+            res = _training.staged_gpr_optimize(
+                builder, model.params, X, Y, num_steps, logger
             )
         elif optimizer.startswith("adam"):
             lr = float(optimizer.split("_", maxsplit=1)[1])

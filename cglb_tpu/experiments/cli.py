@@ -120,7 +120,8 @@ def create_metric_fn(backend, dataset_bundle, destination: Path) -> Callable:
 
 
 _optimizer_choices = click.Choice(
-    ["scipy", "lbfgs", "adam_0.1", "adam_0.01", "adam_0.001"]
+    ["scipy", "lbfgs", "lbfgs_native", "staged", "adam_0.1", "adam_0.01",
+     "adam_0.001"]
 )
 
 

@@ -61,3 +61,19 @@ def inv_mat_vec(precond: NystromPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     rt = r.T * sigma_sq
     Ar = A @ rt
     return (A.T @ Ar + rt).T
+
+
+def sqrt_factor_mat_vec(precond: NystromPreconditioner, w: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Action of a square-root factor S of (Qff + sigma^2 I) = S S^T, with
+    S = sigma [A^T | I]  of shape [N, M+N]:  w [B, M+N] -> (S w^T)^T [B, N].
+
+    (The reference sketches this as `inv_sqrt_mat_vec` at
+    preconditioners.py:86-89 but that code is unreachable and shape-
+    inconsistent; this is the corrected operation, useful for sampling from
+    the Nystrom-approximate prior.)"""
+    A, sigma_sq = precond.A, precond.sigma_sq
+    sigma = jnp.sqrt(sigma_sq)
+    m = A.shape[0]
+    w_m, w_n = w[:, :m], w[:, m:]
+    return sigma * (w_m @ A + w_n)

@@ -219,6 +219,47 @@ def native_lbfgs_minimize(
     )
 
 
+def staged_gpr_optimize(
+    loss_fn_builder: Callable[[Any, Any], LossFn],
+    params,
+    X,
+    Y,
+    num_steps: int,
+    logger: Optional[Logger] = None,
+    subset_size: int = 10_000,
+    warmup_lbfgs_iters: int = 10,
+    warmup_adam_iters: int = 10,
+    adam_lr: float = 0.1,
+) -> OptimizeResult:
+    """The reference's exact-GP baseline training schedule (pytorch/
+    interface.py:326-442): L-BFGS on a <=10k subset, a few Adam steps on the
+    subset, then `num_steps` Adam steps on the full data.
+
+    loss_fn_builder(X, Y) must return a (params, state) -> (loss, state) fn
+    for that data slice."""
+    n = X.shape[0]
+    ns = min(n, subset_size)
+    sub_loss = loss_fn_builder(X[:ns], Y[:ns])
+    full_loss = loss_fn_builder(X, Y)
+
+    if logger is not None:
+        logger.timer.reset()
+        logger.timer.start()
+
+    # phase 1: L-BFGS warmup on the subset (reference uses FullBatchLBFGS)
+    res = lbfgs_minimize(sub_loss, params, None, warmup_lbfgs_iters,
+                         logger=None)
+    params = res.params
+    # phase 2: short Adam on the subset
+    res = adam_minimize(sub_loss, params, None, warmup_adam_iters,
+                        learning_rate=adam_lr, logger=None)
+    params = res.params
+    # phase 3: Adam on the full data
+    res = adam_minimize(full_loss, params, None, num_steps,
+                        learning_rate=adam_lr, logger=logger)
+    return res
+
+
 def lbfgs_minimize(
     loss_fn: LossFn,
     params,

@@ -127,6 +127,30 @@ def test_cli_end_to_end_train_cglb(tmp_path):
     assert "loss" in logs and len(logs["loss"]) >= 1
 
 
+def test_cli_train_cglb_streaming_matvec(tmp_path):
+    """--matvec streaming routes the CG through the Pallas operator (interpret
+    mode on CPU) for both training and prediction."""
+    from cglb_tpu.backend import Jax
+    from cglb_tpu.experiments.cli import main as cli_main
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_main,
+        [
+            "-b", "jax", "-t", "fp64", "-l", str(tmp_path), "-s", "0",
+            "--matvec", "streaming",
+            "train", "-n", "5", "-d", "synth_150x2", "-o", "scipy",
+            "cglb", "-m", "cglb", "-k", "Matern32", "-i", "cv", "-M", "8",
+        ],
+        catch_exceptions=False,
+    )
+    Jax.matvec_mode = "auto"  # reset class state for other tests
+    assert result.exit_code == 0, result.output
+    results = load_json(tmp_path / "results.json")
+    assert np.isfinite(results["cg_lower_bound"])
+    assert results["elbo"] <= results["cg_lower_bound"] + 1e-5
+
+
 def test_cli_baseline(tmp_path):
     from cglb_tpu.experiments.cli import main as cli_main
 
