@@ -112,28 +112,30 @@ def main():
     stage("building common terms")
     ct = jax.jit(lambda pp: sgpr_mod.common_terms(pp, X))(params)
     stage("common terms done")
-    precond = pc.NystromPreconditioner(
-        A=ct.A, LB=ct.LB, sigma_sq=params.noise_variance.value
-    )
     b = jnp.asarray(rng.normal(size=(1, n)))
-    sigma_sq = params.noise_variance.value
-    op = mv.make_streaming_operator(kern, X, sigma_sq, blk, blk)
 
     n_iters = 50
 
+    # NOTE: everything large (X, ct, b) crosses the jit boundary as arguments
+    # — closed-over concrete arrays would be embedded as HLO literals.
     @jax.jit
-    def run_cg(b):
+    def run_cg(b, X, ct, params):
+        sigma_sq = params.noise_variance.value
+        precond = pc.NystromPreconditioner(
+            A=ct.A, LB=ct.LB, sigma_sq=sigma_sq
+        )
+        op = mv.make_streaming_operator(params.kernel, X, sigma_sq, blk, blk)
         v, stats = cg_mod.preconditioned_cg(
             op, b, jnp.zeros_like(b), precond, max_error=0.0, max_iters=n_iters
         )
         return v, stats
 
     stage("compiling CG")
-    _, stats = run_cg(b)
+    _, stats = run_cg(b, X, ct, params)
     steps = int(stats.steps)  # forces the first run
     stage(f"CG first run done steps={steps}")
     t0 = time.time()
-    _, stats = run_cg(b)
+    _, stats = run_cg(b, X, ct, params)
     steps = int(stats.steps)
     t_cg = time.time() - t0
     iters_per_s = steps / t_cg

@@ -68,24 +68,26 @@ class Model:
         self.cg_residual_error = 0.0
         self._jit_cache: Dict[str, Callable] = {}
 
-    # -- loss function in the (params, carry) -> (loss, carry) training form --
+    # -- loss fn in the (params, carry, X, Y) -> (loss, carry) training form.
+    # X/Y are explicit jit arguments, NOT closure constants: closed-over
+    # concrete arrays get embedded into the compiled program as literals,
+    # which breaks compilation once N is large.
 
     def loss_fn(self) -> _training.LossFn:
-        X, Y = self.data
         kind = self.kind
         if kind == "gpr":
-            def fn(params, state):
+            def fn(params, state, X, Y):
                 return -_gpr.log_marginal_likelihood(params, X, Y), state
         elif kind == "sgpr":
-            def fn(params, state):
+            def fn(params, state, X, Y):
                 return -_sgpr.elbo(params, X, Y), state
         elif kind == "sgprn2m":
-            def fn(params, state):
+            def fn(params, state, X, Y):
                 return -_sgpr.elbo_n2m(params, X, Y), state
         elif kind in _CGLB_KINDS:
             cfg = self.run_cfg
             make_op = self._matvec_factory()
-            def fn(params, carry):
+            def fn(params, carry, X, Y):
                 # carry is either the raw v0 array or last feval's CGLBAux
                 v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
                 matvec = None
@@ -138,46 +140,41 @@ class Model:
 
     def loss_value(self) -> float:
         fn = self._jit("loss", self.loss_fn())
-        loss, state = fn(self.params, self._carry_in())
+        loss, state = fn(self.params, self._carry_in(), *self.data)
         self._carry_out(state)
         return float(loss)
 
     def elbo(self) -> float:
-        X, Y = self.data
-        return float(self._jit("elbo", lambda p: _sgpr.elbo(p, X, Y))(self.params))
+        fn = self._jit("elbo", lambda p, X, Y: _sgpr.elbo(p, X, Y))
+        return float(fn(self.params, *self.data))
 
     def upper_bound(self) -> float:
-        X, Y = self.data
-        return float(
-            self._jit("upper", lambda p: _sgpr.upper_bound(p, X, Y))(self.params)
-        )
+        fn = self._jit("upper", lambda p, X, Y: _sgpr.upper_bound(p, X, Y))
+        return float(fn(self.params, *self.data))
 
     def lml(self) -> float:
-        X, Y = self.data
-        return float(
-            self._jit("lml", lambda p: _gpr.log_marginal_likelihood(p, X, Y))(
-                self.params
-            )
+        fn = self._jit(
+            "lml", lambda p, X, Y: _gpr.log_marginal_likelihood(p, X, Y)
         )
+        return float(fn(self.params, *self.data))
 
     def predict_f(self, Xnew, cg_tolerance: Optional[float] = 1e-3):
-        X, Y = self.data
         Xnew = jnp.asarray(Xnew)
         if self.kind == "gpr":
             fn = self._jit(
-                "predict", lambda p, xs: _gpr.predict_f(p, X, Y, xs)
+                "predict", lambda p, X, Y, xs: _gpr.predict_f(p, X, Y, xs)
             )
-            return fn(self.params, Xnew)
+            return fn(self.params, *self.data, Xnew)
         if self.kind in ("sgpr", "sgprn2m"):
             fn = self._jit(
-                "predict", lambda p, xs: _sgpr.predict_f(p, X, Y, xs)
+                "predict", lambda p, X, Y, xs: _sgpr.predict_f(p, X, Y, xs)
             )
-            return fn(self.params, Xnew)
+            return fn(self.params, *self.data, Xnew)
         cfg = self.run_cfg
         make_op = self._matvec_factory()
         key = f"predict_tol{cg_tolerance}"
 
-        def _predict(p, v0, xs):
+        def _predict(p, v0, X, Y, xs):
             matvec = (
                 make_op(p.kernel, X, p.noise_variance.value)
                 if make_op is not None
@@ -188,7 +185,7 @@ class Model:
             )
 
         fn = self._jit(key, _predict)
-        return fn(self.params, self.v0, Xnew)
+        return fn(self.params, self.v0, *self.data, Xnew)
 
     def predict_f_batched(self, Xnew, batch_size: int = 100_000,
                           cg_tolerance: Optional[float] = 1e-3):
@@ -339,38 +336,32 @@ class Jax:
             return {}
 
         stats_fn = feval_stats if model.kind in _CGLB_KINDS else None
+        data = model.data
         if optimizer is None or optimizer == "scipy":
             res = _training.scipy_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
-                feval_stats_fn=stats_fn,
+                feval_stats_fn=stats_fn, data=data,
             )
         elif optimizer == "lbfgs":
             res = _training.lbfgs_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
-                feval_stats_fn=stats_fn,
+                feval_stats_fn=stats_fn, data=data,
             )
         elif optimizer == "lbfgs_native":
             res = _training.native_lbfgs_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
-                feval_stats_fn=stats_fn,
+                feval_stats_fn=stats_fn, data=data,
             )
         elif optimizer == "staged" and model.kind == "gpr":
             # reference exact-GP baseline schedule (pytorch/interface.py:326-442)
-            from .models import gpr as _gpr_mod
-
-            def builder(Xs, Ys):
-                def fn(params, state):
-                    return -_gpr_mod.log_marginal_likelihood(params, Xs, Ys), state
-                return fn
-
             X, Y = model.data
             res = _training.staged_gpr_optimize(
-                builder, model.params, X, Y, num_steps, logger
+                loss_fn, model.params, X, Y, num_steps, logger
             )
         elif optimizer.startswith("adam"):
             lr = float(optimizer.split("_", maxsplit=1)[1])
             res = _training.adam_minimize(
-                loss_fn, model.params, carry, num_steps, lr, logger
+                loss_fn, model.params, carry, num_steps, lr, logger, data=data
             )
         else:
             raise NotImplementedError(optimizer)

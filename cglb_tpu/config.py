@@ -111,3 +111,22 @@ def enable_x64() -> None:
 # explicitly opted out through JAX's own env var.
 if os.environ.get("JAX_ENABLE_X64", "").lower() not in ("0", "false"):
     enable_x64()
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache.  fp64-heavy CGLB graphs can take
+    minutes to compile on TPU toolchains (fp64 emulation multiplies the HLO);
+    caching makes that a one-time cost per (shape, config)."""
+    path = path or os.environ.get(
+        "CGLB_COMPILE_CACHE", os.path.expanduser("~/.cache/cglb_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+if os.environ.get("CGLB_COMPILE_CACHE", "") != "off":
+    try:
+        enable_compilation_cache()
+    except Exception:  # cache is an optimization, never a requirement
+        pass

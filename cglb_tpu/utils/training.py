@@ -31,8 +31,12 @@ from .logging import Logger
 __all__ = ["scipy_minimize", "adam_minimize", "lbfgs_minimize",
            "native_lbfgs_minimize", "OptimizeResult"]
 
-# loss_fn(params, carry_state) -> (loss, new_carry_state); carry may be None.
-LossFn = Callable[[Any, Any], Tuple[jnp.ndarray, Any]]
+# loss_fn(params, carry_state, *data) -> (loss, new_carry_state).
+# carry may be None.  `data` carries large arrays (X, Y, ...) explicitly so
+# they cross the jit boundary as parameters instead of being embedded into the
+# compiled program as constants (embedding a multi-GB kernel matrix literal
+# breaks compilation at scale).
+LossFn = Callable[..., Tuple[jnp.ndarray, Any]]
 
 
 class OptimizeResult(NamedTuple):
@@ -43,8 +47,8 @@ class OptimizeResult(NamedTuple):
 
 
 def _jit_value_and_grad(loss_fn: LossFn):
-    def wrapped(params, state):
-        loss, new_state = loss_fn(params, state)
+    def wrapped(params, state, *data):
+        loss, new_state = loss_fn(params, state, *data)
         return loss, new_state
 
     return jax.jit(jax.value_and_grad(wrapped, has_aux=True))
@@ -60,6 +64,7 @@ def scipy_minimize(
     ftol: float = 0.0,
     gtol: float = 0.0,
     feval_stats_fn: Callable[[Any], dict] = None,
+    data: tuple = (),
 ) -> OptimizeResult:
     """L-BFGS-B on the host, jitted loss+grad on device.
 
@@ -77,7 +82,7 @@ def scipy_minimize(
 
     def fun(x):
         p = unflatten(x)
-        (loss, new_state), grads = vg(p, holder["state"])
+        (loss, new_state), grads = vg(p, holder["state"], *data)
         holder["params"] = p
         holder["state"] = new_state
         holder["loss"] = float(loss)
@@ -111,7 +116,7 @@ def scipy_minimize(
         remaining -= int(res.nit)
         holder["params"] = unflatten(res.x)
         # refresh loss/state at the accepted point
-        (loss, new_state), _ = vg(holder["params"], holder["state"])
+        (loss, new_state), _ = vg(holder["params"], holder["state"], *data)
         holder["state"] = new_state
         holder["loss"] = float(loss)
 
@@ -130,15 +135,16 @@ def adam_minimize(
     num_steps: int,
     learning_rate: float = 0.01,
     logger: Optional[Logger] = None,
+    data: tuple = (),
 ) -> OptimizeResult:
     """On-device Adam loop; one jitted step reused for all iterations."""
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, carry):
+    def step(params, opt_state, carry, *data_):
         (loss, new_carry), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, carry
+            params, carry, *data_
         )
         grads = _fl.mask_untrainable_grads(params, grads)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -151,7 +157,7 @@ def adam_minimize(
 
     loss = np.inf
     for i in range(num_steps):
-        params, opt_state, state, loss = step(params, opt_state, state)
+        params, opt_state, state, loss = step(params, opt_state, state, *data)
         if logger is not None:
             logger(i)
     return OptimizeResult(params=params, state=state, num_iters=num_steps,
@@ -166,6 +172,7 @@ def native_lbfgs_minimize(
     logger: Optional[Logger] = None,
     history: int = 15,
     feval_stats_fn: Callable[[Any], dict] = None,
+    data: tuple = (),
 ) -> OptimizeResult:
     """First-party C++ L-BFGS driver (native/lbfgs.cpp) with strong-Wolfe line
     search: replaces scipy's Fortran L-BFGS-B in the same host-driver role
@@ -181,7 +188,7 @@ def native_lbfgs_minimize(
 
     def evaluate(xv):
         p = unflatten(xv)
-        (loss, new_state), grads = vg(p, holder["state"])
+        (loss, new_state), grads = vg(p, holder["state"], *data)
         holder["params"] = p
         holder["state"] = new_state
         holder["loss"] = float(loss)
@@ -209,7 +216,7 @@ def native_lbfgs_minimize(
 
     best_x = opt.best_x if iters > 0 else x
     holder["params"] = unflatten(best_x)
-    (loss, new_state), _ = vg(holder["params"], holder["state"])
+    (loss, new_state), _ = vg(holder["params"], holder["state"], *data)
     holder["state"] = new_state
     return OptimizeResult(
         params=holder["params"],
@@ -220,7 +227,7 @@ def native_lbfgs_minimize(
 
 
 def staged_gpr_optimize(
-    loss_fn_builder: Callable[[Any, Any], LossFn],
+    loss_fn: LossFn,
     params,
     X,
     Y,
@@ -235,28 +242,28 @@ def staged_gpr_optimize(
     interface.py:326-442): L-BFGS on a <=10k subset, a few Adam steps on the
     subset, then `num_steps` Adam steps on the full data.
 
-    loss_fn_builder(X, Y) must return a (params, state) -> (loss, state) fn
-    for that data slice."""
+    loss_fn has the standard (params, state, X, Y) signature; the data slice
+    is swapped per phase through the `data` argument."""
     n = X.shape[0]
     ns = min(n, subset_size)
-    sub_loss = loss_fn_builder(X[:ns], Y[:ns])
-    full_loss = loss_fn_builder(X, Y)
+    sub_data = (X[:ns], Y[:ns])
+    full_data = (X, Y)
 
     if logger is not None:
         logger.timer.reset()
         logger.timer.start()
 
     # phase 1: L-BFGS warmup on the subset (reference uses FullBatchLBFGS)
-    res = lbfgs_minimize(sub_loss, params, None, warmup_lbfgs_iters,
-                         logger=None)
+    res = lbfgs_minimize(loss_fn, params, None, warmup_lbfgs_iters,
+                         logger=None, data=sub_data)
     params = res.params
     # phase 2: short Adam on the subset
-    res = adam_minimize(sub_loss, params, None, warmup_adam_iters,
-                        learning_rate=adam_lr, logger=None)
+    res = adam_minimize(loss_fn, params, None, warmup_adam_iters,
+                        learning_rate=adam_lr, logger=None, data=sub_data)
     params = res.params
     # phase 3: Adam on the full data
-    res = adam_minimize(full_loss, params, None, num_steps,
-                        learning_rate=adam_lr, logger=logger)
+    res = adam_minimize(loss_fn, params, None, num_steps,
+                        learning_rate=adam_lr, logger=logger, data=full_data)
     return res
 
 
@@ -268,6 +275,7 @@ def lbfgs_minimize(
     logger: Optional[Logger] = None,
     memory_size: int = 15,
     feval_stats_fn: Callable[[Any], dict] = None,
+    data: tuple = (),
 ) -> OptimizeResult:
     """Pure-JAX L-BFGS with zoom linesearch (optax.lbfgs) — everything on device.
 
@@ -278,12 +286,12 @@ def lbfgs_minimize(
     opt = optax.lbfgs(memory_size=memory_size)
 
     @jax.jit
-    def step(params, opt_state, carry):
+    def step(params, opt_state, carry, *data_):
         def f(p):
-            return loss_fn(p, carry)[0]
+            return loss_fn(p, carry, *data_)[0]
 
         (loss, new_carry), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, carry
+            params, carry, *data_
         )
         grads = _fl.mask_untrainable_grads(params, grads)
         updates, opt_state = opt.update(
@@ -299,7 +307,7 @@ def lbfgs_minimize(
 
     loss = np.inf
     for i in range(num_steps):
-        params, opt_state, state, loss = step(params, opt_state, state)
+        params, opt_state, state, loss = step(params, opt_state, state, *data)
         if logger is not None:
             if feval_stats_fn is not None:
                 logger.log_for_feval(**feval_stats_fn(state))
