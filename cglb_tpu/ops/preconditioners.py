@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -39,18 +40,26 @@ def mat_vec(precond, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply the preconditioner to row-vectors r [B, N].
 
     Returns (z, rz) with z = P r (shape [B, N]) and rz[b] = r_b^T P r_b (shape [B]).
+
+    The apply runs in A's dtype: constructing the preconditioner with
+    f32-cast A/LB keeps the per-CG-iteration cost on the TPU fast path (fp64
+    [M, N] contractions are an order of magnitude slower) — preconditioning
+    quality and the stopping/error terms tolerate 1e-7 relative noise.
+    Inputs/outputs stay in r's dtype.
     """
     if isinstance(precond, IdentityPreconditioner):
         return r, jnp.sum(r * r, axis=-1)
     if isinstance(precond, NystromPreconditioner):
         A, LB, sigma_sq = precond.A, precond.LB, precond.sigma_sq
-        rt = r.T  # [N, B]
-        Ar = A @ rt  # [M, B]
+        hi = jax.lax.Precision.HIGHEST
+        rt = r.astype(A.dtype).T  # [N, B]
+        Ar = jnp.dot(A, rt, precision=hi)  # [M, B]
         u = jsl.solve_triangular(LB, Ar, lower=True)
         w = jsl.solve_triangular(LB.T, u, lower=False)
-        rv = rt - A.T @ w  # [N, B]
+        rv = rt - jnp.dot(A.T, w, precision=hi)  # [N, B]
         rz = jnp.sum(rv * rt, axis=0)  # [B]
-        return rv.T / sigma_sq, rz / sigma_sq
+        z = rv.T.astype(r.dtype) / sigma_sq
+        return z, rz.astype(r.dtype) / sigma_sq
     raise NotImplementedError(type(precond))
 
 

@@ -77,7 +77,8 @@ def test_vzero_gradients_match_finite_differences(rng):
     """With v fixed (vzero), the loss is an ordinary differentiable function;
     check the kernel-variance gradient against central differences."""
     X, Y, params, _ = _setup(rng, n=32, m=8)
-    cfg = cglb.CGLBConfig(vzero=True)
+    # fp64 preconditioner: the FD probe needs bitwise-smooth evaluations
+    cfg = cglb.CGLBConfig(vzero=True, precond_dtype="float64")
     v0 = jnp.asarray(rng.normal(size=(1, X.shape[0])) * 0.01)
 
     def f_of_raw(raw):
@@ -98,6 +99,18 @@ def test_vzero_gradients_match_finite_differences(rng):
     eps = 1e-6
     fd = (float(f_of_raw(raw0 + eps)) - float(f_of_raw(raw0 - eps))) / (2 * eps)
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_fast_precond_matches_fp64_precond(rng):
+    """float32 preconditioner (default, TPU fast path) changes the bound by
+    at most ~1e-6 relative vs the fp64 preconditioner."""
+    X, Y, params, _ = _setup(rng)
+    v0 = cglb.init_v0(X.shape[0])
+    b32, _ = cglb.bound(params, X, Y, v0,
+                        cglb.CGLBConfig(precond_dtype="float32"))
+    b64, _ = cglb.bound(params, X, Y, v0,
+                        cglb.CGLBConfig(precond_dtype="float64"))
+    np.testing.assert_allclose(float(b32), float(b64), rtol=1e-5)
 
 
 def test_cg_mode_gradients_finite(rng):
