@@ -121,8 +121,10 @@ def main():
     @jax.jit
     def run_cg(b, X, ct, params):
         sigma_sq = params.noise_variance.value
+        # f32 preconditioner apply — the production default (models/cglb.py)
         precond = pc.NystromPreconditioner(
-            A=ct.A, LB=ct.LB, sigma_sq=sigma_sq
+            A=ct.A.astype(jnp.float32), LB=ct.LB.astype(jnp.float32),
+            sigma_sq=sigma_sq,
         )
         op = mv.make_streaming_operator(params.kernel, X, sigma_sq, blk, blk)
         v, stats = cg_mod.preconditioned_cg(
