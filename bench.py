@@ -52,7 +52,6 @@ def main():
     from cglb_tpu.ops import kernels as k
     from cglb_tpu.ops import matvec_pallas as mv
     from cglb_tpu.ops import preconditioners as pc
-    from cglb_tpu.utils.inducing import conditional_variance
 
     on_accel = jax.devices()[0].platform in ("tpu", "axon")
     # north-star shape (kin40k); pad-friendly N

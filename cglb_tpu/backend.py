@@ -13,8 +13,7 @@ metrics_fn), keeping CLI and user code shaped like the reference.
 from __future__ import annotations
 
 import warnings
-from pathlib import Path
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -305,6 +304,30 @@ class Jax:
     @classmethod
     def save(cls, model: Model, logdir):
         _ser.save_model_params(model.parameter_dict(), logdir)
+
+    @classmethod
+    def save_checkpoint(cls, model: Model, logdir):
+        """Full-state checkpoint (params + CG warm start) — resume without
+        the cold-start CG cost the reference pays (SURVEY.md 5.4)."""
+        _ser.save_checkpoint(
+            logdir,
+            model.parameter_dict(),
+            v0=model.v0,
+            extra={"kind": model.kind},
+        )
+
+    @classmethod
+    def load_checkpoint(cls, model: Model, filepath) -> Model:
+        state = _ser.load_checkpoint(filepath)
+        have = set(model.parameter_dict().keys())
+        model.params = _fl.assign_parameters(
+            model.params,
+            {k: v for k, v in state["params"].items() if k in have},
+        )
+        if state.get("v0") is not None and model.v0 is not None:
+            model.v0 = jnp.asarray(state["v0"], dtype=model.v0.dtype)
+        model._jit_cache.clear()
+        return model
 
     @classmethod
     def load(cls, model: Model, filepath) -> Model:

@@ -20,20 +20,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional, Type
+from typing import Any, Callable, Dict, Optional
 
 import click
 import numpy as np
 
-from ..backend import Jax
-from ..configs import (
-    CGLBConfig,
-    GPRConfig,
-    InducingVariableConfig,
-    KernelConfig,
-    ModelConfig,
-    SGPRConfig,
-)
+from ..configs import GPRConfig, ModelConfig
 from ..utils.logging import Logger
 from ..utils.serialization import dump_json
 from .baselines import linear_baseline, meanpred_baseline

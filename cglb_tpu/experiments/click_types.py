@@ -9,12 +9,10 @@ logdir leaf name.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Type
-
 import click
 
 from .. import config as _config
-from ..backend import BACKENDS, Jax
+from ..backend import BACKENDS
 from ..configs import (
     GPR_CONFIGS,
     INDUCING_VARIABLE_CONFIGS,

@@ -25,7 +25,6 @@ from __future__ import annotations
 import math
 from typing import Callable, NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -156,14 +155,26 @@ def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
 
 
 def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
-          jitter: float = None, matvec: Optional[Callable] = None
-          ) -> Tuple[jnp.ndarray, CGLBAux]:
+          jitter: float = None, matvec: Optional[Callable] = None,
+          remat_common_terms: bool = True) -> Tuple[jnp.ndarray, CGLBAux]:
     """The CGLB lower bound on log p(Y|X).  Returns (bound, aux).
 
     reference: tensorflow/models.py:175-192.
+
+    remat_common_terms: rematerialize Kuf/A/AAT in the backward pass instead
+    of storing the O(N M) fp64 intermediates (HBM: the stored residuals of the
+    kernel build + triangular solve exceed a chip at N=40k, M=2048; recompute
+    costs one extra forward O(N M^2) pass).
     """
+    import jax
+
     N, D = Y.shape
-    ct = common_terms(params, X, jitter)
+    if remat_common_terms:
+        ct = jax.checkpoint(
+            lambda p, x: common_terms(p, x, jitter), static_argnums=()
+        )(params, X)
+    else:
+        ct = common_terms(params, X, jitter)
     b = -0.5 * N * D * math.log(2.0 * math.pi)
     b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
     quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec)

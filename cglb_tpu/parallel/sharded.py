@@ -22,8 +22,7 @@ no K materialization.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,10 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import cglb as _cglb
 from ..models import sgpr as _sgpr
 from ..models.cglb import CGLBAux, CGLBConfig
-from ..models.gaussian import mean_apply
 from ..ops import kernels as _k
-from ..ops import preconditioners as _pc
-from ..ops import cg as _cg
 from .mesh import DATA_AXIS
 
 __all__ = ["shard_data", "sharded_cglb_loss", "make_sharded_operator",

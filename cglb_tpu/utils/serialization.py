@@ -62,3 +62,22 @@ def save_model_params(params_dict: Dict[str, np.ndarray], logdir) -> None:
 
 def load_model_params(filepath) -> Dict[str, np.ndarray]:
     return load_json(filepath)
+
+
+def save_checkpoint(logdir, params_dict: Dict[str, np.ndarray],
+                    v0=None, extra: Dict = None) -> None:
+    """Full-state checkpoint: parameters + the CG warm-start vector.
+
+    The reference checkpoints parameters only — the v0 warm start is state but
+    is not saved (SURVEY.md section 5.4), so resume pays the cold-start CG
+    cost.  checkpoint.json fixes that."""
+    state = {
+        "params": {k: np.asarray(v) for k, v in params_dict.items()},
+        "v0": None if v0 is None else np.asarray(v0),
+        "extra": extra or {},
+    }
+    dump_json(state, Path(logdir) / "checkpoint.json")
+
+
+def load_checkpoint(filepath) -> Dict:
+    return load_json(filepath)

@@ -179,3 +179,23 @@ def test_cli_metric_sgpr(tmp_path):
     )
     assert result.exit_code == 0, result.output
     assert (tmp_path / "metric.npy").exists()
+
+
+def test_full_state_checkpoint_roundtrip(tmp_path):
+    from cglb_tpu.configs import CGLBConfig as CfgCGLB
+
+    data_bundle = get_dataset("synth_200x3")
+    cfg = CfgCGLB(Matern32Config(), InducingVariableConfig(12))
+    model = Jax.create_model(cfg, data_bundle.train, seed=0)
+    # run one loss eval to produce a non-trivial v0 warm start
+    model.loss_value()
+    v_before = np.asarray(model.v0)
+    assert np.abs(v_before).max() > 0
+    Jax.save_checkpoint(model, tmp_path)
+
+    model2 = Jax.create_model(cfg, data_bundle.train, seed=1)
+    model2 = Jax.load_checkpoint(model2, Path(tmp_path) / "checkpoint.json")
+    np.testing.assert_allclose(np.asarray(model2.v0), v_before, rtol=1e-12)
+    # warm start means zero CG steps on the next eval
+    model2.loss_value()
+    assert model2.cg_steps == 0
