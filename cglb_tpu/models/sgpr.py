@@ -93,18 +93,58 @@ def _kuu_chol(params: SGPRParams, jitter: float):
     return jnp.linalg.cholesky(kuu)
 
 
-def common_terms(params: SGPRParams, X, jitter: float = None) -> CommonTerms:
-    """Reference semantics: cglb/backend/tensorflow/models.py:58-75."""
+# above this many Kuf elements the chunked path kicks in automatically: fp64
+# matmul/trisolve on TPU is emulated by materializing stacked f32 splits
+# ([8, M, N] temporaries), so unchunked [M, N] solves blow HBM at kin40k scale.
+CHUNK_THRESHOLD_ELEMENTS = 32 * 1024 * 1024
+
+
+def common_terms(params: SGPRParams, X, jitter: float = None,
+                 chunk_size: int = None) -> CommonTerms:
+    """Reference semantics: cglb/backend/tensorflow/models.py:58-75.
+
+    For large N the O(N M) solve runs in column chunks under ``lax.map`` so
+    the fp64-emulation temporaries stay bounded (exact fp64 math either way).
+    """
+    import jax
+
     from .. import config as _config
 
     jitter = jitter if jitter is not None else _config.default_jitter()
     Z = params.inducing_Z.value
     M = Z.shape[0]
+    N = X.shape[0]
     L = _kuu_chol(params, jitter)
-    kuf = _k.K(params.kernel, Z, X)  # [M, N]
     sigma = jnp.sqrt(params.noise_variance.value)
-    A = jsl.solve_triangular(L, kuf, lower=True) / sigma
-    AAT = A @ A.T
+
+    if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
+        chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
+
+    if chunk_size is None or N <= chunk_size:
+        kuf = _k.K(params.kernel, Z, X)  # [M, N]
+        A = jsl.solve_triangular(L, kuf, lower=True) / sigma
+        AAT = A @ A.T
+    else:
+        n_chunks = -(-N // chunk_size)
+        n_pad = n_chunks * chunk_size
+        Xp = jnp.pad(X, ((0, n_pad - N), (0, 0)), mode="edge")
+        Xc = Xp.reshape(n_chunks, chunk_size, X.shape[1])
+        # zero out the padded (repeated) columns so AAT is exact
+        col_ids = jnp.arange(n_pad).reshape(n_chunks, chunk_size)
+        masks = (col_ids < N).astype(X.dtype)
+
+        def per_chunk(args):
+            xc, mask = args
+            kuf_c = _k.K(params.kernel, Z, xc)
+            a_c = jsl.solve_triangular(L, kuf_c, lower=True) / sigma
+            a_c = a_c * mask[None, :]
+            # per-chunk AAT partial keeps every fp64 matmul at [M, chunk]
+            return a_c, a_c @ a_c.T
+
+        A_stack, AAT_parts = jax.lax.map(per_chunk, (Xc, masks))
+        A = jnp.moveaxis(A_stack, 0, 1).reshape(M, n_pad)[:, :N]
+        AAT = jnp.sum(AAT_parts, axis=0)
+
     B = AAT + jnp.eye(M, dtype=Z.dtype)
     LB = jnp.linalg.cholesky(B)
     return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)

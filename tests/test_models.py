@@ -118,3 +118,17 @@ def test_elbo_gradients_finite(rng):
     g = jax.grad(lambda p: sgpr.elbo(p, jnp.asarray(X), jnp.asarray(Y)))(sp)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
+
+
+def test_common_terms_chunked_matches_unchunked(rng):
+    """Column-chunked common terms (the large-N fp64 memory path) are exact."""
+    X, Y, kern, Z = _setup(rng, n=123, m=9)
+    params = sgpr.SGPRParams.create(kern, Z, noise_variance=0.7, dtype=np.float64)
+    ct1 = sgpr.common_terms(params, jnp.asarray(X))
+    ct2 = sgpr.common_terms(params, jnp.asarray(X), chunk_size=32)
+    np.testing.assert_allclose(np.asarray(ct1.A), np.asarray(ct2.A),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ct1.AAT), np.asarray(ct2.AAT),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ct1.LB), np.asarray(ct2.LB),
+                               rtol=1e-12, atol=1e-13)
