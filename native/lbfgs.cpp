@@ -26,6 +26,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -178,6 +179,16 @@ int cglb_lbfgs_step(void* handle, const double* x, double f, const double* g,
                     double* x_out) {
   auto* st = static_cast<LbfgsState*>(handle);
   const int64_t n = st->n;
+
+  // non-finite evaluations (NaN/Inf loss or gradient) are treated as +inf so
+  // the line search backs off instead of corrupting state (the reference's
+  // vendored LBFGS guards the same way with is_legal, lbfgs.py:16-24)
+  bool finite = std::isfinite(f);
+  for (int64_t i = 0; finite && i < n; ++i) finite = std::isfinite(g[i]);
+  if (!finite) {
+    if (!st->have_iterate) return kFail;  // bad starting point
+    f = std::numeric_limits<double>::max();
+  }
 
   if (!st->have_iterate) {
     // first call: x is the accepted starting iterate
