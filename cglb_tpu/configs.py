@@ -72,6 +72,20 @@ class InducingVariableConfig(Config):
     num_variables: int
 
     def init(self, data: Data, kernel, seed: int = 0) -> np.ndarray:
+        # prefer the OpenMP C++ implementation: the selection is sequential in
+        # M, so per-step device dispatch dominates the jitted TPU version
+        # (~minutes at M=1024) while the native one finishes in seconds
+        try:
+            from .utils.native import conditional_variance_native, \
+                native_available
+
+            if native_available():
+                Z, _ = conditional_variance_native(
+                    data[0], self.num_variables, kernel, seed=seed
+                )
+                return Z
+        except Exception:
+            pass
         from .utils.inducing import conditional_variance
 
         Z, _ = conditional_variance(data[0], self.num_variables, kernel, seed=seed)

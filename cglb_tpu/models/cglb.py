@@ -192,13 +192,18 @@ def loss(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
 
 def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig(),
               cg_tolerance: Optional[float] = 1e-3, full_cov: bool = False,
-              jitter: float = None, matvec: Optional[Callable] = None
+              jitter: float = None, matvec: Optional[Callable] = None,
+              cross_matvec: Optional[Callable] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CGLB posterior: m(x*) = SGPR-mean-on-residual + Ks,f v.
 
     With v = 0 this is the SGPR mean; with exact v it is the exact GP mean
     (reference: tensorflow/models.py:194-246).  Runs a fresh CG at
     ``cg_tolerance`` (1e-3 default; None / vzero / joint reuse v0 as-is).
+
+    cross_matvec: optional p [B, N] -> p K(X, Xnew) [B, S] closure — at scale
+    the streaming version avoids materializing the [S, N] cross kernel (its
+    fp64 matmul would blow HBM; see PERF.md).
     """
     sigma_sq = params.noise_variance.value
     sigma = jnp.sqrt(sigma_sq)
@@ -217,8 +222,11 @@ def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig()
             cfg.restart_cg_iters
         )
 
-    Ksf = _k.K(params.kernel, Xnew, X)  # [S, N]
-    cg_mean = Ksf @ v.T  # [S, D]
+    if cross_matvec is not None:
+        cg_mean = cross_matvec(v).T  # [S, D]
+    else:
+        Ksf = _k.K(params.kernel, Xnew, X)  # [S, N]
+        cg_mean = Ksf @ v.T  # [S, D]
     res = err - matvec(v).T  # [N, D]
 
     Kus = _k.K(params.kernel, Z, Xnew)

@@ -404,6 +404,28 @@ def kernel_matvec(kernel, X, p, block_i: int = 512, block_j: int = 512,
     return _streaming_matvec(spec, X.shape[0], prep, prep, var, ls, p)
 
 
+def kernel_cross_matvec(kernel, X_rows, X_cols, p, block_i: int = 512,
+                        block_j: int = 512, interpret: bool = None
+                        ) -> jnp.ndarray:
+    """Rectangular streaming contraction: p [B, Nr] -> p @ K(X_rows, X_cols)
+    [B, Nc], K streamed tile-by-tile.
+
+    Covers the prediction cross-covariance products (e.g. the CGLB posterior
+    mean correction K(s,f) v — reference tensorflow/models.py:222) without
+    materializing the [S, N] kernel matrix."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    var = kernel.variance.value
+    ls = kernel.lengthscales.value
+    spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
+                 interpret=interpret, n_packs=1)
+    rows, n_packs = _prepare(block_i, block_j, X_rows, ls)
+    cols, n_packs2 = _prepare(block_i, block_j, X_cols, ls)
+    assert n_packs == n_packs2
+    spec = spec._replace(n_packs=n_packs)
+    return _streaming_matvec(spec, X_cols.shape[0], rows, cols, var, ls, p)
+
+
 def make_streaming_operator(kernel, X, sigma_sq, block_i: int = 512,
                             block_j: int = 512, interpret: bool = None):
     """Matvec closure for (K + sigma^2 I): streaming K + exact fp64 diagonal.

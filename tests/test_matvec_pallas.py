@@ -120,3 +120,48 @@ def test_cglb_loss_with_streaming_operator_matches_dense(rng):
     )
     l_stream, aux_s = cglb_mod.loss(params, Xj, Yj, v0, cfg, matvec=op)
     np.testing.assert_allclose(float(l_stream), float(l_dense), rtol=1e-5)
+
+
+def test_cross_matvec_matches_dense(rng):
+    """Rectangular streaming contraction vs dense cross-kernel product."""
+    nr, nc, d = 150, 90, 4
+    Xr = jnp.asarray(rng.normal(size=(nr, d)))
+    Xc = jnp.asarray(rng.normal(size=(nc, d)))
+    p = jnp.asarray(rng.normal(size=(1, nr)))
+    kern = _kern("mat32", d, rng)
+    got = np.asarray(
+        mv.kernel_cross_matvec(kern, Xr, Xc, p, 64, 64, interpret=True)
+    )
+    want = np.asarray(p @ k.K(kern, Xr, Xc))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale, rtol=5e-5)
+
+
+def test_cglb_predict_with_cross_matvec_matches_dense(rng):
+    from cglb_tpu.models import cglb as cglb_mod
+    from cglb_tpu.models import sgpr as sgpr_mod
+
+    n, d, m, s = 160, 3, 10, 40
+    X = rng.normal(size=(n, d))
+    Y = np.sin(X[:, :1]) + 0.05 * rng.normal(size=(n, 1))
+    Xs = jnp.asarray(rng.normal(size=(s, d)))
+    kern = k.make_kernel("Matern32", d, dtype=np.float64)
+    params = sgpr_mod.SGPRParams.create(kern, X[:m], noise_variance=0.5,
+                                        dtype=np.float64)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    cfg = cglb_mod.CGLBConfig()
+    v0 = cglb_mod.init_v0(n)
+    mean_d, var_d = cglb_mod.predict_f(params, Xj, Yj, v0, Xs, cfg,
+                                       cg_tolerance=1e-8)
+    op = mv.make_streaming_operator(params.kernel, Xj,
+                                    params.noise_variance.value, 64, 64,
+                                    interpret=True)
+    cross = lambda v: mv.kernel_cross_matvec(params.kernel, Xj, Xs, v, 64, 64,
+                                             interpret=True)
+    mean_s, var_s = cglb_mod.predict_f(params, Xj, Yj, v0, Xs, cfg,
+                                       cg_tolerance=1e-8, matvec=op,
+                                       cross_matvec=cross)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d),
+                               rtol=1e-4, atol=1e-8)
