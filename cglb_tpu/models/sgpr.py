@@ -99,6 +99,58 @@ def _kuu_chol(params: SGPRParams, jitter: float):
 CHUNK_THRESHOLD_ELEMENTS = 32 * 1024 * 1024
 
 
+def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
+               chunk_size: int = None):
+    """A = L^-1 Kuf / sigma_scale, AAT = A A^T, and optionally AW = A @ W —
+    computed in column chunks under ``lax.map`` when N*M is large, so every
+    fp64 contraction stays at [M, chunk] (exact fp64 either way).
+
+    W: optional [N, D] right factor folded into the same chunked pass (e.g.
+    the training-error matrix for the ELBO quad term)."""
+    import jax
+
+    Z = params.inducing_Z.value
+    M = Z.shape[0]
+    N = X.shape[0]
+
+    if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
+        chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
+
+    if chunk_size is None or N <= chunk_size:
+        kuf = _k.K(params.kernel, Z, X)  # [M, N]
+        A = jsl.solve_triangular(L, kuf, lower=True) / sigma_scale
+        AAT = A @ A.T
+        AW = None if W is None else A @ W
+        return A, AAT, AW
+
+    n_chunks = -(-N // chunk_size)
+    n_pad = n_chunks * chunk_size
+    Xp = jnp.pad(X, ((0, n_pad - N), (0, 0)), mode="edge")
+    Xc = Xp.reshape(n_chunks, chunk_size, X.shape[1])
+    # zero out the padded (repeated) columns so reductions are exact
+    col_ids = jnp.arange(n_pad).reshape(n_chunks, chunk_size)
+    masks = (col_ids < N).astype(X.dtype)
+    if W is not None:
+        Wp = jnp.pad(W, ((0, n_pad - N), (0, 0)))
+        Wc = Wp.reshape(n_chunks, chunk_size, W.shape[1])
+    else:
+        Wc = jnp.zeros((n_chunks, chunk_size, 1), dtype=X.dtype)
+
+    def per_chunk(args):
+        xc, mask, wc = args
+        kuf_c = _k.K(params.kernel, Z, xc)
+        a_c = jsl.solve_triangular(L, kuf_c, lower=True) / sigma_scale
+        a_c = a_c * mask[None, :]
+        # per-chunk partials keep every fp64 matmul at [M, chunk]
+        return a_c, a_c @ a_c.T, a_c @ wc
+
+    A_stack, AAT_parts, AW_parts = jax.lax.map(per_chunk, (Xc, masks, Wc))
+    A = jnp.moveaxis(A_stack, 0, 1).reshape(M, n_pad)[:, :N]
+    AAT = jnp.sum(AAT_parts, axis=0)
+    AW = None if W is None else jnp.sum(AW_parts, axis=0)
+    return A, AAT, AW
+
+
 def common_terms(params: SGPRParams, X, jitter: float = None,
                  chunk_size: int = None) -> CommonTerms:
     """Reference semantics: cglb/backend/tensorflow/models.py:58-75.
@@ -106,45 +158,14 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
     For large N the O(N M) solve runs in column chunks under ``lax.map`` so
     the fp64-emulation temporaries stay bounded (exact fp64 math either way).
     """
-    import jax
-
     from .. import config as _config
 
     jitter = jitter if jitter is not None else _config.default_jitter()
     Z = params.inducing_Z.value
     M = Z.shape[0]
-    N = X.shape[0]
     L = _kuu_chol(params, jitter)
     sigma = jnp.sqrt(params.noise_variance.value)
-
-    if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
-        chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
-
-    if chunk_size is None or N <= chunk_size:
-        kuf = _k.K(params.kernel, Z, X)  # [M, N]
-        A = jsl.solve_triangular(L, kuf, lower=True) / sigma
-        AAT = A @ A.T
-    else:
-        n_chunks = -(-N // chunk_size)
-        n_pad = n_chunks * chunk_size
-        Xp = jnp.pad(X, ((0, n_pad - N), (0, 0)), mode="edge")
-        Xc = Xp.reshape(n_chunks, chunk_size, X.shape[1])
-        # zero out the padded (repeated) columns so AAT is exact
-        col_ids = jnp.arange(n_pad).reshape(n_chunks, chunk_size)
-        masks = (col_ids < N).astype(X.dtype)
-
-        def per_chunk(args):
-            xc, mask = args
-            kuf_c = _k.K(params.kernel, Z, xc)
-            a_c = jsl.solve_triangular(L, kuf_c, lower=True) / sigma
-            a_c = a_c * mask[None, :]
-            # per-chunk AAT partial keeps every fp64 matmul at [M, chunk]
-            return a_c, a_c @ a_c.T
-
-        A_stack, AAT_parts = jax.lax.map(per_chunk, (Xc, masks))
-        A = jnp.moveaxis(A_stack, 0, 1).reshape(M, n_pad)[:, :N]
-        AAT = jnp.sum(AAT_parts, axis=0)
-
+    A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size)
     B = AAT + jnp.eye(M, dtype=Z.dtype)
     LB = jnp.linalg.cholesky(B)
     return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
@@ -152,22 +173,28 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
 
 def elbo(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
     """Titsias (2009) collapsed ELBO, the reference's `elbo` metric."""
-    ct = common_terms(params, X, jitter)
+    from .. import config as _config
+
+    jitter = jitter if jitter is not None else _config.default_jitter()
     err = Y - mean_apply(params.mean, X)
     N, D = Y.shape
+    M = params.num_inducing
     sigma_sq = params.noise_variance.value
     sigma = jnp.sqrt(sigma_sq)
-    Aerr = ct.A @ err
-    c = jsl.solve_triangular(ct.LB, Aerr, lower=True) / sigma
+    L = _kuu_chol(params, jitter)
+    # A, AAT, and A@err in one chunked pass (bounded fp64 temps at scale)
+    _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
+    LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
+    c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
 
     bound = -0.5 * N * D * math.log(2.0 * math.pi)
-    bound -= D * jnp.sum(jnp.log(jnp.diagonal(ct.LB)))
+    bound -= D * jnp.sum(jnp.log(jnp.diagonal(LB)))
     bound -= 0.5 * N * D * jnp.log(sigma_sq)
     bound -= 0.5 * jnp.sum(jnp.square(err)) / sigma_sq
     bound += 0.5 * jnp.sum(jnp.square(c))
     # trace correction: -0.5 D (sum kdiag / sigma^2 - tr(AAT))
     kd = _k.kdiag(params.kernel, X)
-    bound -= 0.5 * D * (jnp.sum(kd) / sigma_sq - jnp.trace(ct.AAT))
+    bound -= 0.5 * D * (jnp.sum(kd) / sigma_sq - jnp.trace(AAT))
     return bound
 
 
@@ -185,9 +212,9 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
     eye_m = jnp.eye(M, dtype=Z.dtype)
 
     L = _kuu_chol(params, jitter)
-    kuf = _k.K(params.kernel, Z, X)
-    A0 = jsl.solve_triangular(L, kuf, lower=True)  # no sigma scaling here
-    AAT0 = A0 @ A0.T
+    err = Y - mean_apply(params.mean, X)
+    one = jnp.ones((), dtype=X.dtype)
+    _, AAT0, A0err = _kuf_terms(params, L, X, one, W=err)
     LB = jnp.linalg.cholesky(eye_m + AAT0 / sigma_sq)
 
     # Trace slack: c = tr(Kff) - tr(Qff) >= 0 inflates the noise.
@@ -197,9 +224,8 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
     const = -0.5 * N * jnp.log(2.0 * math.pi * sigma_sq)
     logdet = -jnp.sum(jnp.log(jnp.diagonal(LB)))
 
-    err = Y - mean_apply(params.mean, X)
     LC = jnp.linalg.cholesky(eye_m + AAT0 / corrected_noise)
-    v = jsl.solve_triangular(LC, (A0 @ err) / corrected_noise, lower=True)
+    v = jsl.solve_triangular(LC, A0err / corrected_noise, lower=True)
     quad = -0.5 * jnp.sum(jnp.square(err)) / corrected_noise + 0.5 * jnp.sum(
         jnp.square(v)
     )
