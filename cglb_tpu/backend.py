@@ -233,11 +233,14 @@ class Jax:
 
     name = "jax"
     matvec_mode = "auto"  # "auto" | "dense" | "streaming" (CLI --matvec)
+    common_dtype = "float64"  # "float64" | "mixed" (CLI --common-dtype)
 
     @classmethod
     def configure_backend(cls, **kwargs):
         if "matvec" in kwargs and kwargs["matvec"]:
             cls.matvec_mode = kwargs["matvec"]
+        if "common_dtype" in kwargs and kwargs["common_dtype"]:
+            cls.common_dtype = kwargs["common_dtype"]
 
     @classmethod
     def set_default_float(cls, float_type: str):
@@ -299,6 +302,7 @@ class Jax:
                 joint_optimization=p["joint_optimization"],
                 vzero=p["vzero"],
                 logdet_variant=_CGLB_KINDS[kind],
+                common_dtype=cls.common_dtype,
             )
             return Model(kind, params, (X, Y), run_cfg, matvec=cls.matvec_mode)
         return Model("sgpr", params, (X, Y), matvec=cls.matvec_mode)

@@ -62,13 +62,18 @@ class ExecuteContext:
               default="auto", help="kernel matvec implementation for CG")
 @click.option("--keops/--no-keops", "keops", default=None,
               help="compat alias: --keops == --matvec streaming")
+@click.option("--common-dtype", type=click.Choice(["float64", "mixed"]),
+              default="float64",
+              help="mixed = bf16-packed/f32 common terms (~4.5x faster fevals"
+                   " at ~1e-4 relative bound error)")
 @click.pass_context
-def main(ctx, backend, float_type, logdir, seed, matvec, keops):
+def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype):
     logdir_path = Path(logdir).expanduser().resolve()
     logdir_path.mkdir(exist_ok=True, parents=True)
     if keops is not None:
         matvec = "streaming" if keops else "dense"
-    backend.configure_backend(logdir=str(logdir_path), matvec=matvec)
+    backend.configure_backend(logdir=str(logdir_path), matvec=matvec,
+                              common_dtype=common_dtype)
     backend.set_default_float(float_type)
     backend.set_default_jitter(float_type)
     backend.set_seed(seed)

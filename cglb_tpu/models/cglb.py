@@ -58,6 +58,9 @@ class CGLBConfig:
     # N=40k); preconditioning tolerates the 1e-7 noise.  Set "float64" for
     # bitwise-fp64 paths.
     precond_dtype: str = static_field(default="float32")
+    # "float64" (exact, chunked at scale) or "mixed" (bf16-packed distances +
+    # f32 solve/AAT — ~2x faster fevals at ~1e-5 relative bound error)
+    common_dtype: str = static_field(default="float64")
 
     @property
     def v_is_external(self) -> bool:
@@ -169,12 +172,14 @@ def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
     import jax
 
     N, D = Y.shape
+    mixed = cfg.common_dtype == "mixed"
     if remat_common_terms:
         ct = jax.checkpoint(
-            lambda p, x: common_terms(p, x, jitter), static_argnums=()
+            lambda p, x: common_terms(p, x, jitter, mixed=mixed),
+            static_argnums=(),
         )(params, X)
     else:
-        ct = common_terms(params, X, jitter)
+        ct = common_terms(params, X, jitter, mixed=mixed)
     b = -0.5 * N * D * math.log(2.0 * math.pi)
     b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
     quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec)

@@ -162,3 +162,31 @@ def test_loss_is_jittable_and_stable_across_calls(rng):
     l2, aux2 = f(params, aux1.v)
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-9)
+
+
+def test_mixed_common_terms_close_to_fp64(rng):
+    """common_dtype='mixed' (bf16-packed + f32 solves) tracks the fp64 bound
+    to ~1e-5 relative and its gradients stay consistent."""
+    X, Y, params, _ = _setup(rng)
+    v0 = cglb.init_v0(X.shape[0])
+    b64, _ = cglb.bound(params, X, Y, v0, cglb.CGLBConfig())
+    bmx, _ = cglb.bound(params, X, Y, v0,
+                        cglb.CGLBConfig(common_dtype="mixed"))
+    np.testing.assert_allclose(float(bmx), float(b64), rtol=2e-5)
+
+    g64 = jax.grad(lambda p: cglb.loss(p, X, Y, v0, cglb.CGLBConfig())[0])(
+        params
+    )
+    gmx = jax.grad(
+        lambda p: cglb.loss(p, X, Y, v0,
+                            cglb.CGLBConfig(common_dtype="mixed"))[0]
+    )(params)
+    # f32 solves make mixed gradients ~1% noisy — fine for an opt-in fast
+    # training mode (L-BFGS tolerates it; values track fp64 to 2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g64),
+                    jax.tree_util.tree_leaves(gmx)):
+        a, b = np.asarray(a), np.asarray(b)
+        # floor the per-element scale at 10% of the leaf's largest entry so
+        # near-zero elements don't amplify f32 noise into fake rel errors
+        scale = np.maximum(np.abs(a), 0.1 * np.max(np.abs(a)) + 1e-6)
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-1)
