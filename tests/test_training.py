@@ -155,3 +155,46 @@ def test_conditional_variance_spreads_points(rng):
     kern = k.make_kernel("rbf", 2, dtype=np.float64)
     _, idx = conditional_variance(X, 16, kern, seed=0)
     assert len(set(idx.tolist())) == 16
+
+
+def test_logger_records_feval_cg_stats(rng, tmp_path):
+    """Per-feval CG stats land in the logs (reference: callbacks.py:122-125)."""
+    from cglb_tpu.backend import Jax
+    from cglb_tpu.configs import CGLBConfig, InducingVariableConfig, \
+        Matern32Config
+    from cglb_tpu.experiments.datasets import get_dataset
+    from cglb_tpu.utils.logging import Logger
+
+    bundle = get_dataset("synth_150x2")
+    model = Jax.create_model(
+        CGLBConfig(Matern32Config(), InducingVariableConfig(8)), bundle.train,
+        seed=0,
+    )
+    metrics_fn = Jax.metrics_fn(model, bundle.to_tuple())
+    logger = Logger(str(tmp_path), metrics_fn,
+                    lambda: Jax.model_parameters(model), holdout_interval=5,
+                    include_feval_log=True, tensorboard=False)
+    Jax.optimize(model, bundle.to_tuple(), num_steps=8, logger=logger,
+                 optimizer="scipy")
+    assert "cg/steps-per-feval" in logger.logs
+    assert len(logger.logs["cg/steps-per-feval"]) >= 8
+    assert "loss" in logger.logs  # holdout records
+    # params exclude inducing points (reference Logger include() filter)
+    assert all("inducing" not in k for rec in logger.logs["params"]
+               for k in rec)
+
+
+def test_logger_no_recording_context(tmp_path):
+    from cglb_tpu.utils.logging import Logger
+
+    logger = Logger(str(tmp_path), lambda: {"loss": 1.0}, lambda: {},
+                    holdout_interval=1, include_feval_log=True,
+                    tensorboard=False)
+    logger.timer.start()
+    with logger.no_recording():
+        logger(0)
+        logger.log_for_feval(x=1)
+    assert "loss" not in logger.logs
+    assert "x-per-feval" not in logger.logs
+    logger(1)
+    assert "loss" in logger.logs
