@@ -23,6 +23,7 @@ from . import config as _config
 from . import configs as _cfgs
 from .models import cglb as _cglb
 from .models import gpr as _gpr
+from .models import gpr_iterative as _itgp
 from .models import sgpr as _sgpr
 from .models.cglb import CGLBConfig as _RunCfg
 from .models.gaussian import predict_log_density as _pld
@@ -77,6 +78,14 @@ class Model:
         if kind == "gpr":
             def fn(params, state, X, Y):
                 return -_gpr.log_marginal_likelihood(params, X, Y), state
+        elif kind == "exactgp":
+            # stochastic iterative objective: the PRNG key rides in the carry
+            itcfg = _itgp.IterGPConfig()
+            def fn(params, carry, X, Y):
+                key = carry if carry is not None else jax.random.PRNGKey(0)
+                key, sub = jax.random.split(key)
+                loss, _ = _itgp.iterative_loss(params, X, Y, sub, itcfg)
+                return loss, key
         elif kind == "sgpr":
             def fn(params, state, X, Y):
                 return -_sgpr.elbo(params, X, Y), state
@@ -122,9 +131,16 @@ class Model:
     def _carry_in(self):
         if self.kind in _CGLB_KINDS:
             return self.v0
+        if self.kind == "exactgp":
+            if not hasattr(self, "_key") or self._key is None:
+                self._key = jax.random.PRNGKey(_config.settings.seed)
+            return self._key
         return None
 
     def _carry_out(self, state):
+        if self.kind == "exactgp" and state is not None:
+            self._key = state
+            return
         if self.kind in _CGLB_KINDS and state is not None:
             if isinstance(state, _cglb.CGLBAux):
                 self.v0 = state.v
@@ -162,6 +178,12 @@ class Model:
 
     def predict_f(self, Xnew, cg_tolerance: Optional[float] = 1e-3):
         Xnew = jnp.asarray(Xnew)
+        if self.kind == "exactgp":
+            fn = self._jit(
+                "predict",
+                lambda p, X, Y, xs: _itgp.predict_f_iterative(p, X, Y, xs),
+            )
+            return fn(self.params, *self.data, Xnew)
         if self.kind == "gpr":
             fn = self._jit(
                 "predict", lambda p, X, Y, xs: _gpr.predict_f(p, X, Y, xs)
@@ -283,7 +305,11 @@ class Jax:
                 kernel, noise_variance=p["noise_variance"],
                 output_dim=Y.shape[1], dtype=dtype,
             )
-            return Model("gpr", params, (X, Y), matvec=cls.matvec_mode)
+            kind = (
+                "exactgp" if isinstance(model_cfg, _cfgs.ExactGPConfig)
+                else "gpr"
+            )
+            return Model(kind, params, (X, Y), matvec=cls.matvec_mode)
 
         Z = p["inducing_variable"](kernel, seed=seed)
         params = _sgpr.SGPRParams.create(
@@ -428,6 +454,10 @@ class Jax:
             def core():
                 lml = model.lml()
                 return {"lml": lml, "loss": -lml}
+        elif model.kind == "exactgp":
+            def core():
+                loss = model.loss_value()
+                return {"lml": -loss, "loss": loss}
         elif model.kind in ("sgpr", "sgprn2m"):
             def core():
                 # loss = -elbo (variant-specific: sgprn2m reports its own bound
