@@ -100,7 +100,7 @@ CHUNK_THRESHOLD_ELEMENTS = 32 * 1024 * 1024
 
 
 def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
-               chunk_size: int = None):
+               chunk_size: int = None, kernel_f32: bool = False):
     """A = L^-1 Kuf / sigma_scale, AAT = A A^T, and optionally AW = A @ W —
     computed in column chunks under ``lax.map`` when N*M is large, so every
     fp64 contraction stays at [M, chunk] (exact fp64 either way).
@@ -116,8 +116,13 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
         chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
 
+    def kuf_block(xc):
+        if kernel_f32:
+            return _kuf_block_f32(params, Z, xc)
+        return _k.K(params.kernel, Z, xc)
+
     if chunk_size is None or N <= chunk_size:
-        kuf = _k.K(params.kernel, Z, X)  # [M, N]
+        kuf = kuf_block(X)  # [M, N]
         A = jsl.solve_triangular(L, kuf, lower=True) / sigma_scale
         AAT = A @ A.T
         AW = None if W is None else A @ W
@@ -138,7 +143,7 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
 
     def per_chunk(args):
         xc, mask, wc = args
-        kuf_c = _k.K(params.kernel, Z, xc)
+        kuf_c = kuf_block(xc)
         a_c = jsl.solve_triangular(L, kuf_c, lower=True) / sigma_scale
         a_c = a_c * mask[None, :]
         # per-chunk partials keep every fp64 matmul at [M, chunk]
@@ -151,27 +156,22 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     return A, AAT, AW
 
 
-def _mixed_kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None):
-    """Mixed-precision Kuf/A/AAT: distances via bf16 multi-split matmuls
-    (exact products, f32 accumulation), kernel values and the triangular
-    solve in f32 (HIGHEST), M x M results promoted back to fp64.
-
-    ~1e-6 relative error on A / ~1e-5 on AAT vs fp64 — well below the CGLB
-    training tolerances — at a fraction of the fp64-emulation cost, and with
-    no [8, M, N] split-stack temporaries (no chunking needed).
-    """
-    import jax
+def _kuf_block_f32(params: SGPRParams, Z, Xc):
+    """Kuf block via bf16 lane-packed distances + f32 kernel values, promoted
+    to the working dtype.  The fp64 *elementwise* kernel build (emulated exp,
+    d2 assembly) dominates common-terms time on TPU; entry-wise f32 error
+    (~1e-7 relative, same as the streaming matvec) is harmless because every
+    downstream accumulation stays fp64."""
+    import math as _math
 
     from ..ops import matvec_pallas as _mvp
 
-    Z = params.inducing_Z.value
     ls = params.kernel.lengthscales.value
     var = params.kernel.variance.value
     f32 = jnp.float32
-    hi_p = jax.lax.Precision.HIGHEST
 
     Zs = Z / ls
-    Xs = X / ls
+    Xs = Xc / ls
     zsplit = _mvp._bf16_split4(Zs)
     xsplit = _mvp._bf16_split4(Xs)
     cross = None
@@ -181,26 +181,13 @@ def _mixed_kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None):
     zn = jnp.sum(Zs * Zs, axis=1).astype(f32)
     xn = jnp.sum(Xs * Xs, axis=1).astype(f32)
     d2 = jnp.maximum(zn[:, None] + xn[None, :] - 2.0 * cross, 0.0)
-    import math as _math
-
     if isinstance(params.kernel, _k.SquaredExponential):
         rho = jnp.exp(-0.5 * d2)
     else:
         r = jnp.sqrt(d2 + jnp.asarray(1e-30, f32))  # sqrt-grad guard at d2=0
         s3r = _math.sqrt(3.0) * r
         rho = (1.0 + s3r) * jnp.exp(-s3r)
-    kuf = var.astype(f32) * rho  # [M, N] f32
-
-    scale32 = jnp.asarray(sigma_scale, f32)
-    A = jsl.solve_triangular(L.astype(f32), kuf, lower=True) / scale32
-    AAT = jnp.dot(A, A.T, preferred_element_type=f32, precision=hi_p).astype(
-        X.dtype
-    )
-    AW = None
-    if W is not None:
-        AW = jnp.dot(A, W.astype(f32), preferred_element_type=f32,
-                     precision=hi_p).astype(X.dtype)
-    return A, AAT, AW
+    return var * rho.astype(Z.dtype)
 
 
 def common_terms(params: SGPRParams, X, jitter: float = None,
@@ -219,10 +206,11 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
     M = Z.shape[0]
     L = _kuu_chol(params, jitter)
     sigma = jnp.sqrt(params.noise_variance.value)
-    if mixed:
-        A, AAT, _ = _mixed_kuf_terms(params, L, X, sigma)
-    else:
-        A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size)
+    # mixed = f32 kernel build + fp64 chunked solves/AAT: full-f32 solves were
+    # tried and go unstable when sigma^2 shrinks (||AAT|| ~ 1/sigma^2 makes the
+    # f32 accumulation noise exceed B's unit eigenvalues -> NaN cholesky)
+    A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size,
+                           kernel_f32=mixed)
     B = AAT + jnp.eye(M, dtype=Z.dtype)
     LB = jnp.linalg.cholesky(B)
     return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
