@@ -90,12 +90,17 @@ def _synthetic(name: str, seed: int = 0):
         n, dim = int(m.group(1)), int(m.group(2))
     rng = np.random.default_rng(seed + n + dim)
     X = rng.normal(size=(n, dim))
-    # smooth nonlinear target: random-feature GP sample + noise
+    # smooth nonlinear target: random-feature GP sample + noise.  The noise
+    # level is deliberately UCI-like (~25% of signal variance after z-scoring)
+    # — near-noiseless stand-ins let large-M models interpolate and drive the
+    # likelihood variance to its floor, an unrealistically brutal conditioning
+    # regime.
     nf = 64
     W = rng.normal(size=(dim, nf)) / np.sqrt(dim)
     b = rng.uniform(0, 2 * np.pi, size=(nf,))
     w2 = rng.normal(size=(nf, 1)) / np.sqrt(nf)
-    Y = np.sqrt(2.0) * np.cos(X @ W + b) @ w2 + 0.1 * rng.normal(size=(n, 1))
+    signal = np.sqrt(2.0) * np.cos(X @ W + b) @ w2
+    Y = signal + 0.5 * np.std(signal) * rng.normal(size=(n, 1))
     return X, Y
 
 

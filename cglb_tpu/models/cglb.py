@@ -86,8 +86,11 @@ def _logdet_bound(params: SGPRParams, ct: CommonTerms, X, Y,
     N, D = Y.shape
     sigma_sq = params.noise_variance.value
     kd = _k.kdiag(params.kernel, X)
-    # residual trace  tr(K - Q)/sigma^2  >= 0
-    trace = jnp.sum(kd) / sigma_sq - jnp.trace(ct.AAT)
+    # residual trace  tr(K - Q)/sigma^2  >= 0 mathematically; as Q -> K (large
+    # M, well-fit inducing points) the subtraction cancels catastrophically and
+    # can go slightly negative, turning log(1 + trace/N) into NaN mid-training.
+    # Clamping at 0 keeps the bound valid (true trace >= 0).
+    trace = jnp.maximum(jnp.sum(kd) / sigma_sq - jnp.trace(ct.AAT), 0.0)
     logdiag_LB = jnp.sum(jnp.log(jnp.diagonal(ct.LB)))
 
     if variant == "jensen":
@@ -107,8 +110,11 @@ def _logdet_bound(params: SGPRParams, ct: CommonTerms, X, Y,
         C = jsl.solve_triangular(ct.LB, ct.A, lower=True)
         trace_kff = jnp.trace(kff_s)
         trace_qrest = jnp.trace((C @ kff_s) @ C.T)
+        # same cancellation guard as the jensen trace; floor keeps log finite
         log_trace = N * (
-            jnp.log(trace_kff - trace_qrest) - math.log(N) - jnp.log(sigma_sq)
+            jnp.log(jnp.maximum(trace_kff - trace_qrest,
+                                N * sigma_sq * 1e-300))
+            - math.log(N) - jnp.log(sigma_sq)
         )
         log_det_q = logdiag_LB + 0.5 * N * jnp.log(sigma_sq)
         return -(log_det_q + 0.5 * log_trace)

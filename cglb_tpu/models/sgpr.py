@@ -87,10 +87,23 @@ class CommonTerms(NamedTuple):
 
 
 def _kuu_chol(params: SGPRParams, jitter: float):
+    """chol(Kuu + jitter I), with a 1000x-jitter retry if the factorization
+    produces non-finite values (clustered inducing points mid-optimization;
+    the reference relies on gpflow's default jitter and scipy's line-search
+    backoff for the same failure mode)."""
+    import jax
+
     Z = params.inducing_Z.value
     M = Z.shape[0]
-    kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
-    return jnp.linalg.cholesky(kuu)
+    kuu = _k.K(params.kernel, Z)
+    eye = jnp.eye(M, dtype=Z.dtype)
+    L1 = jnp.linalg.cholesky(kuu + jitter * eye)
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(L1)))
+    return jax.lax.cond(
+        ok,
+        lambda: L1,
+        lambda: jnp.linalg.cholesky(kuu + (1000.0 * jitter) * eye),
+    )
 
 
 # above this many Kuf elements the chunked path kicks in automatically: fp64
