@@ -72,9 +72,6 @@ def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
         cmd = _render(point)
         logdir = None
         # skip completed runs unless restart (xpert `restart=false` semantics)
-        for tok in shlex.split(cmd):
-            if "{uid}" not in tok and "/" in tok and "logdir" in cmd:
-                pass
         results_marker = None
         if "-l" in cmd:
             toks = shlex.split(cmd)
@@ -94,23 +91,20 @@ def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
             print(cmd)
         return 0
 
-    failures = 0
-
-    def _run(cmd):
-        nonlocal failures
+    def _run(cmd) -> int:
         print(f"[run] {cmd}", flush=True)
         proc = subprocess.run(shlex.split(cmd))
         if proc.returncode != 0:
-            failures += 1
             print(f"[fail rc={proc.returncode}] {cmd}", file=sys.stderr)
+            return 1
+        return 0
 
     if num_proc <= 1:
-        for cmd in cmds:
-            _run(cmd)
+        results = [_run(cmd) for cmd in cmds]
     else:
         with ThreadPoolExecutor(max_workers=num_proc) as pool:
-            list(pool.map(_run, cmds))
-    return failures
+            results = list(pool.map(_run, cmds))
+    return sum(results)
 
 
 @click.command()

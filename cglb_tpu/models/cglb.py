@@ -247,7 +247,10 @@ def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig()
     tmp2 = jsl.solve_triangular(ct.LB, tmp1, lower=True)
     sgpr_mean = tmp2.T @ c
     if full_cov:
+        # tile the shared covariance over the output dim like the reference
+        # ([P, S, S]; tensorflow/models.py:238) so both branches are per-output
         var = _k.K(params.kernel, Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+        var = jnp.tile(var[None], (Y.shape[1], 1, 1))
     else:
         var = (
             _k.kdiag(params.kernel, Xnew)

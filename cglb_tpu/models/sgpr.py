@@ -305,7 +305,9 @@ def predict_f(params: SGPRParams, X, Y, Xnew, full_cov: bool = False,
     tmp2 = jsl.solve_triangular(ct.LB, tmp1, lower=True)
     f_mean = tmp2.T @ c + mean_apply(params.mean, Xnew)
     if full_cov:
+        # [P, S, S], tiled over outputs (reference tensorflow/models.py:238)
         var = _k.K(params.kernel, Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+        var = jnp.tile(var[None], (Y.shape[1], 1, 1))
     else:
         var = (
             _k.kdiag(params.kernel, Xnew)

@@ -71,6 +71,17 @@ def _on_tpu() -> bool:
         return False
 
 
+def _check_blocks(block_i: int, block_j: int, interpret: bool) -> None:
+    """TPU lowering requires last-dim block sizes divisible by the 128-lane
+    width (the matvec kernel tiles p/out on their last dims with block_i /
+    block_j); interpret mode (CPU meshes, tests) has no such constraint."""
+    if not interpret and (block_i % 128 or block_j % 128):
+        raise ValueError(
+            f"block sizes ({block_i}, {block_j}) are not TPU-lowerable: "
+            "both must be multiples of 128 (or pass interpret=True)"
+        )
+
+
 def split_hi_lo(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Double-float split: x ~= hi + lo with hi, lo float32."""
     hi = x.astype(jnp.float32)
@@ -395,6 +406,7 @@ def kernel_matvec(kernel, X, p, block_i: int = 512, block_j: int = 512,
     Differentiable w.r.t. kernel parameters and p (custom_vjp)."""
     if interpret is None:
         interpret = not _on_tpu()
+    _check_blocks(block_i, block_j, interpret)
     var = kernel.variance.value
     ls = kernel.lengthscales.value
     spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
@@ -415,6 +427,7 @@ def kernel_cross_matvec(kernel, X_rows, X_cols, p, block_i: int = 512,
     materializing the [S, N] kernel matrix."""
     if interpret is None:
         interpret = not _on_tpu()
+    _check_blocks(block_i, block_j, interpret)
     var = kernel.variance.value
     ls = kernel.lengthscales.value
     spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
@@ -435,6 +448,7 @@ def make_streaming_operator(kernel, X, sigma_sq, block_i: int = 512,
     dominate each iteration)."""
     if interpret is None:
         interpret = not _on_tpu()
+    _check_blocks(block_i, block_j, interpret)
     var = kernel.variance.value
     ls = kernel.lengthscales.value
     spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,

@@ -41,7 +41,11 @@ def make_sharded_streaming_operator(mesh: Mesh, kernel, X, sigma_sq,
     upstream if needed).
     """
     if interpret is None:
-        interpret = not _mv._on_tpu()
+        # decide per-MESH, not per-process: the process's default device may be
+        # a TPU while the mesh is virtual CPU devices (or vice versa)
+        platform = mesh.devices.flat[0].platform
+        interpret = platform not in ("tpu", "axon")
+    _mv._check_blocks(block_i, block_j, interpret)
     n_dev = mesh.shape[DATA_AXIS]
     n = X.shape[0]
     var = kernel.variance.value

@@ -45,13 +45,23 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any source is newer than the built library (the .so is a
+    build artifact, never committed; rebuild keeps it in sync with sources)."""
+    if not _LIB_PATH.exists():
+        return True
+    built = _LIB_PATH.stat().st_mtime
+    sources = list(_NATIVE_DIR.glob("*.cpp")) + [_NATIVE_DIR / "Makefile"]
+    return any(s.exists() and s.stat().st_mtime > built for s in sources)
+
+
 def load_native() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None:
         return _lib
     if _load_failed:
         return None
-    if not _LIB_PATH.exists() and not _build():
+    if _stale() and not _build() and not _LIB_PATH.exists():
         _load_failed = True
         return None
     try:
