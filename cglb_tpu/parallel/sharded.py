@@ -83,13 +83,20 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
 
 
 def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
-                      jitter: float = None) -> Tuple[jnp.ndarray, CGLBAux]:
+                      jitter: float = None, matvec: str = "dense",
+                      block: int = 512) -> Tuple[jnp.ndarray, CGLBAux]:
     """CGLB loss with all N-sized tensors sharded over the mesh's data axis.
 
     Numerically identical to models.cglb.loss (same math, same CG); only the
     layout differs.  Call under jit with the mesh's devices visible.
+
+    matvec: "dense" materializes K column-sharded ([N, N/devices] per chip —
+    caps N at ~200k/chip); "streaming" runs the Pallas tile kernel per column
+    shard (K never in HBM — the multi-chip large-N path, SURVEY.md 5.7/5.8).
+    block: streaming tile size; the padded N must divide mesh_size * block.
     """
     from .. import config as _config
+    from . import streaming as _streaming
 
     jitter = jitter if jitter is not None else _config.default_jitter()
     N, D = Y.shape
@@ -101,13 +108,21 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
     b = -0.5 * N * D * math.log(2.0 * math.pi)
     b += _cglb._logdet_bound(params, ct, X, Y, cfg.logdet_variant)
 
-    matvec = make_sharded_operator(mesh, params.kernel, X, sigma_sq)
-    quad, aux = _cglb._quad_form_bound(params, ct, X, Y, v0, cfg, matvec)
+    if matvec == "streaming":
+        mv = _streaming.make_sharded_streaming_operator(
+            mesh, params.kernel, X, sigma_sq, block_i=block, block_j=block
+        )
+    elif matvec == "dense":
+        mv = make_sharded_operator(mesh, params.kernel, X, sigma_sq)
+    else:
+        raise ValueError(f"unknown sharded matvec mode {matvec!r}")
+    quad, aux = _cglb._quad_form_bound(params, ct, X, Y, v0, cfg, mv)
     b += quad
     return -b, aux
 
 
-def sharded_train_step(mesh: Mesh, cfg: CGLBConfig, optimizer):
+def sharded_train_step(mesh: Mesh, cfg: CGLBConfig, optimizer,
+                       matvec: str = "dense", block: int = 512):
     """Build a jitted full training step over the mesh: value_and_grad of the
     sharded CGLB loss + optimizer update, CG warm start in the carry."""
     import optax
@@ -116,7 +131,8 @@ def sharded_train_step(mesh: Mesh, cfg: CGLBConfig, optimizer):
 
     def step(params, opt_state, v0, X, Y):
         def loss_fn(p):
-            return sharded_cglb_loss(p, X, Y, v0, cfg, mesh)
+            return sharded_cglb_loss(p, X, Y, v0, cfg, mesh,
+                                     matvec=matvec, block=block)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = _fl.mask_untrainable_grads(params, grads)

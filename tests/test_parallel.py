@@ -92,3 +92,62 @@ def test_uneven_shard_sizes_still_work(mesh8, rng):
         p, xs, ys, v, cfg, mesh8))
     l_sh, _ = f(params, v0, X, Y)
     np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-9)
+
+
+def test_sharded_streaming_loss_matches_single_device(mesh8, rng):
+    """The multi-chip large-N path: CGLB loss on the column-sharded STREAMING
+    Pallas matvec agrees with the single-device dense-fp64 loss (streaming K
+    entries carry ~1e-6 relative error; tolerance sized accordingly)."""
+    X, Y, params = _setup(rng, n=8 * 32, m=12)
+    cfg = cglb_mod.CGLBConfig(max_error=1e-8, max_cg_iters=300)
+    v0 = cglb_mod.init_v0(X.shape[0])
+
+    l_ref, aux_ref = cglb_mod.loss(params, X, Y, v0, cfg)
+
+    Xs, Ys = sharded.shard_data(mesh8, X, Y)
+    f = jax.jit(
+        lambda p, v: sharded.sharded_cglb_loss(
+            p, Xs, Ys, v, cfg, mesh8, matvec="streaming", block=32
+        )
+    )
+    l_sh, aux_sh = f(params, v0)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=5e-6)
+    assert int(aux_sh.cg_steps) > 0
+
+
+def test_sharded_streaming_train_step(mesh8, rng):
+    """One full optimizer step on the streaming sharded loss: finite loss,
+    gradients close to the dense sharded step's."""
+    X, Y, params = _setup(rng, n=8 * 32, m=12)
+    cfg = cglb_mod.CGLBConfig(max_error=0.01, precond_dtype="float64")
+    v0 = cglb_mod.init_v0(X.shape[0])
+    Xs, Ys = sharded.shard_data(mesh8, X, Y)
+
+    g_dense = jax.jit(
+        jax.grad(
+            lambda p: sharded.sharded_cglb_loss(p, Xs, Ys, v0, cfg, mesh8)[0]
+        )
+    )(params)
+    g_stream = jax.jit(
+        jax.grad(
+            lambda p: sharded.sharded_cglb_loss(
+                p, Xs, Ys, v0, cfg, mesh8, matvec="streaming", block=32
+            )[0]
+        )
+    )(params)
+    np.testing.assert_allclose(
+        float(g_stream.noise_variance.raw), float(g_dense.noise_variance.raw),
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_stream.kernel.lengthscales.raw),
+        np.asarray(g_dense.kernel.lengthscales.raw),
+        rtol=1e-3, atol=1e-6,
+    )
+
+    opt = optax.adam(0.01)
+    step = sharded.sharded_train_step(mesh8, cfg, opt, matvec="streaming",
+                                      block=32)
+    p2, _, aux, loss = step(params, opt.init(params), v0, Xs, Ys)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(p2.noise_variance.raw))
