@@ -62,6 +62,17 @@ class Model:
                 self.data[0].shape[0], self.data[1].shape[1],
                 dtype=self.data[0].dtype,
             )
+            if run_cfg is not None and run_cfg.joint_optimization and (
+                not run_cfg.vzero
+            ):
+                # --vjoint: v0 becomes a trainable leaf in the params pytree
+                # (reference: tensorflow/models.py:44-46 trainable Parameter)
+                from .struct import replace as _replace
+                from .transforms import Param as _Param
+
+                self.params = _replace(
+                    self.params, v0=_Param(raw=self.v0, trainable=True)
+                )
         else:
             self.v0 = None
         self.cg_steps = 0
@@ -95,9 +106,14 @@ class Model:
         elif kind in _CGLB_KINDS:
             cfg = self.run_cfg
             make_op = self._matvec_factory()
+            joint = cfg.joint_optimization and not cfg.vzero
             def fn(params, carry, X, Y):
                 # carry is either the raw v0 array or last feval's CGLBAux
                 v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
+                if joint and params.v0 is not None:
+                    # trainable v: read from the params pytree so gradients
+                    # flow into it through the bound assembly
+                    v0 = params.v0.value
                 matvec = None
                 if make_op is not None:
                     matvec = make_op(params.kernel, X,
@@ -148,6 +164,10 @@ class Model:
                 self.cg_residual_error = float(state.cg_residual_error)
             else:
                 self.v0 = state
+            pv = getattr(self.params, "v0", None)
+            if pv is not None:
+                # joint mode: the optimized v lives in the params pytree
+                self.v0 = pv.value
 
     # -- metric evaluations (jitted lazily, cached per model instance) --
 
@@ -197,8 +217,11 @@ class Model:
         cfg = self.run_cfg
         make_op = self._matvec_factory()
         key = f"predict_tol{cg_tolerance}"
+        joint = cfg.joint_optimization and not cfg.vzero
 
         def _predict(p, v0, X, Y, xs):
+            if joint and p.v0 is not None:
+                v0 = p.v0.value  # the jointly-optimized v
             matvec = None
             cross_matvec = None
             if make_op is not None:
@@ -401,6 +424,14 @@ class Jax:
         if optimizer is None or optimizer == "scipy":
             res = _training.scipy_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
+                feval_stats_fn=stats_fn, data=data,
+            )
+        elif optimizer == "scipy4":
+            # torch-backend schedule: 4 restarts, inducing points frozen
+            # after the 2nd (reference: pytorch/interface.py:507-543)
+            res = _training.scipy_minimize(
+                loss_fn, model.params, carry, num_steps, logger,
+                attempts=4, freeze_inducing_after=2,
                 feval_stats_fn=stats_fn, data=data,
             )
         elif optimizer == "lbfgs":

@@ -1,31 +1,36 @@
 """Experiment CLI.
 
-Preserves the reference's command grammar (cglb_experiments/cli.py:52-326):
+Preserves the reference's command *grammar* (cglb_experiments/cli.py:52-326):
 
     cglb -b jax -t fp64 -l LOGDIR -s SEED \
         train -n 2000 -d Wilson_pol -o scipy \
         cglb -m cglb -k Matern32 -i cv -M 2048 [-e 1.0 --vjoint --vzero]
 
-Command tree: ``train``/``metric`` groups with per-model leaf commands generated
-from a shared action table (sgpr/sgprn2m/cglb/cglbn2m/cglbnm2/gpr), plus
-``gpr_metric`` and ``baseline`` commands.  Training writes results.json,
-logs.json, and model.json to the logdir.
+but the implementation is the framework's own: the command tree is generated
+from two declarative tables (``_OPTIONS``: reusable option factories keyed by
+name; ``_LEAVES``: model-leaf -> option set + config builder), and every leaf
+funnels into one ``_Action.execute`` dispatcher instead of per-model callback
+clones.  ``train``/``metric`` groups carry an ``_Action`` describing what to
+do with the model the leaf builds; ``gpr_metric`` and ``baseline`` are plain
+commands.
 
-New vs reference: ``-o lbfgs`` selects the pure-JAX on-device L-BFGS, and
-``--matvec {auto,dense,streaming}`` replaces the ``--keops`` toggle (streaming =
-Pallas blockwise matvec; ``--keops``/``--no-keops`` kept as compatible aliases).
+New vs reference: ``-o lbfgs`` (pure-JAX on-device L-BFGS), ``-o lbfgs_native``
+(first-party C++ driver), ``-o scipy4`` (the torch backend's 4-restart
+schedule with inducing-point freezing), and ``--matvec {auto,dense,streaming}``
+replacing the ``--keops`` toggle (streaming = Pallas blockwise matvec;
+``--keops``/``--no-keops`` kept as compatible aliases).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import click
 import numpy as np
 
-from ..configs import GPRConfig, ModelConfig
+from ..configs import GPRConfig
 from ..utils.logging import Logger
 from ..utils.serialization import dump_json
 from .baselines import linear_baseline, meanpred_baseline
@@ -42,13 +47,149 @@ from .datasets import DatasetBundle
 
 _default_logdir = "./logdir"
 
+_HOLDOUT_INTERVAL = 20
+
+
+# ---------------------------------------------------------------------------
+# The action carried from the train/metric group down to the model leaf.
+# ---------------------------------------------------------------------------
+
 
 @dataclass(frozen=True)
-class ExecuteContext:
-    main_ctx: Context
+class _Action:
+    """What to do once a leaf command has built its model config."""
+
+    session: Context
     dataset: DatasetBundle
-    callback_fn: Callable[[Any], Any]
-    extra_args: Dict = field(default_factory=dict)
+    kind: str  # "train" | "metric"
+    num_steps: int = 0
+    optimizer: Optional[str] = None
+    metric_dst: Optional[Path] = None
+
+    def execute(self, model_cfg, param_file: Optional[str] = None) -> None:
+        backend = self.session.backend
+        model = backend.create_model(
+            model_cfg, self.dataset.train, seed=self.session.seed
+        )
+        if param_file:
+            model = backend.load(model, param_file)
+        if self.kind == "train":
+            self._train(backend, model)
+        else:
+            self._metric(backend, model)
+
+    def _train(self, backend, model) -> None:
+        logdir = self.session.logdir
+        datasets = self.dataset.to_tuple()
+        metrics_fn = backend.metrics_fn(model, datasets)
+        logger = Logger(
+            logdir,
+            metrics_fn,
+            lambda: backend.model_parameters(model),
+            _HOLDOUT_INTERVAL,
+            include_feval_log=True,
+        )
+        backend.optimize(model, datasets, self.num_steps, logger,
+                         self.optimizer)
+        backend.save(model, logdir)
+
+        meta = {"id": logdir, "data": self.dataset.provenance}
+        dump_json({**metrics_fn(), **meta}, Path(logdir, "results.json"))
+        dump_json({**logger.logs, **meta}, Path(logdir, "logs.json"))
+
+    def _metric(self, backend, model) -> None:
+        results = backend.metrics_fn(model, self.dataset.to_tuple())()
+        results["id"] = str(self.metric_dst.parent)
+        results["data"] = self.dataset.provenance
+        np.save(self.metric_dst, results)
+
+
+# ---------------------------------------------------------------------------
+# Declarative option + leaf tables.  Each leaf command = an option set drawn
+# from _OPTIONS plus a builder from the collected click kwargs to a ModelConfig.
+# ---------------------------------------------------------------------------
+
+_OPTIONS: Dict[str, Callable] = {
+    "model_gpr": lambda: click.option(
+        "-m", "--model-class", type=GPRConfigType(), required=True
+    ),
+    "model_sparse": lambda: click.option(
+        "-m", "--model-class", type=SGPRConfigType(), required=True
+    ),
+    "kernel": lambda: click.option(
+        "-k", "--kernel", type=KernelConfigType(), required=True
+    ),
+    "inducing": lambda: click.option(
+        "-i", "--inducing-variable", type=InducingVariableConfigType(),
+        required=True,
+    ),
+    "M": lambda: click.option(
+        "-M", "--num-inducing-variables", default=100, type=int
+    ),
+    "params": lambda: click.option(
+        "-p", "--param_file", type=click.Path(readable=True), required=False
+    ),
+    "max_error": lambda: click.option(
+        "-e", "--max_error", type=float, default=1.0
+    ),
+    "vjoint": lambda: click.option("--vjoint/--no-vjoint", default=False),
+    "vzero": lambda: click.option("--vzero/--no-vzero", default=False),
+}
+
+
+def _gpr_config(o):
+    return o["model_class"](o["kernel"]())
+
+
+def _sparse_config(o):
+    return o["model_class"](
+        o["kernel"](), o["inducing_variable"](o["num_inducing_variables"])
+    )
+
+
+def _cglb_config(o):
+    return o["model_class"](
+        o["kernel"](),
+        o["inducing_variable"](o["num_inducing_variables"]),
+        o["max_error"],
+        o["vjoint"],
+        o["vzero"],
+    )
+
+
+_GPR_OPTS = ("model_gpr", "kernel", "params")
+_SPARSE_OPTS = ("model_sparse", "kernel", "inducing", "M", "params")
+_CGLB_OPTS = _SPARSE_OPTS + ("max_error", "vjoint", "vzero")
+
+# leaf name -> (option keys, kwargs -> ModelConfig)
+_LEAVES: Dict[str, tuple] = {
+    "sgpr": (_SPARSE_OPTS, _sparse_config),
+    "sgprn2m": (_SPARSE_OPTS, _sparse_config),
+    "cglb": (_CGLB_OPTS, _cglb_config),
+    "cglbn2m": (_CGLB_OPTS, _cglb_config),
+    "cglbnm2": (_CGLB_OPTS, _cglb_config),
+    "gpr": (_GPR_OPTS, _gpr_config),
+}
+
+
+def _attach_leaves(group: click.Group) -> None:
+    """Generate one leaf command per _LEAVES row under `group`."""
+    for name, (opt_keys, build) in _LEAVES.items():
+
+        @click.pass_context
+        def leaf(ctx, _build=build, **kwargs):
+            action: _Action = ctx.obj
+            action.execute(_build(kwargs), kwargs.get("param_file"))
+
+        cmd = leaf
+        for key in reversed(opt_keys):
+            cmd = _OPTIONS[key]()(cmd)
+        group.command(name=name)(cmd)
+
+
+# ---------------------------------------------------------------------------
+# Command tree.
+# ---------------------------------------------------------------------------
 
 
 @click.group()
@@ -64,8 +205,8 @@ class ExecuteContext:
               help="compat alias: --keops == --matvec streaming")
 @click.option("--common-dtype", type=click.Choice(["float64", "mixed"]),
               default="float64",
-              help="mixed = bf16-packed/f32 common terms (~4.5x faster fevals"
-                   " at ~1e-4 relative bound error)")
+              help="mixed = bf16-packed/f32 common terms (faster fevals; see"
+                   " PERF.md for the accuracy envelope)")
 @click.pass_context
 def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype):
     logdir_path = Path(logdir).expanduser().resolve()
@@ -80,45 +221,9 @@ def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype):
     ctx.obj = Context(backend, seed, str(logdir_path))
 
 
-def create_optimize_fn(backend, dataset_bundle, logdir, num_steps, seed,
-                       optimizer) -> Callable:
-    def optimize_fn(model):
-        datasets = dataset_bundle.to_tuple()
-        holdout_interval = 20
-        metrics_fn = backend.metrics_fn(model, datasets)
-        logger = Logger(
-            logdir,
-            metrics_fn,
-            lambda: backend.model_parameters(model),
-            holdout_interval,
-            include_feval_log=True,
-        )
-        backend.optimize(model, datasets, num_steps, logger, optimizer)
-        backend.save(model, logdir)
-
-        results = metrics_fn()
-        results["id"] = logdir
-        logs = logger.logs
-        logs["id"] = logdir
-        dump_json(results, Path(logdir, "results.json"))
-        dump_json(logs, Path(logdir, "logs.json"))
-
-    return optimize_fn
-
-
-def create_metric_fn(backend, dataset_bundle, destination: Path) -> Callable:
-    def metric_fn(model):
-        metrics_fn = backend.metrics_fn(model, dataset_bundle.to_tuple())
-        results = metrics_fn()
-        results["id"] = str(destination.parent)
-        np.save(destination, results)
-
-    return metric_fn
-
-
 _optimizer_choices = click.Choice(
-    ["scipy", "lbfgs", "lbfgs_native", "staged", "adam_0.1", "adam_0.01",
-     "adam_0.001"]
+    ["scipy", "scipy4", "lbfgs", "lbfgs_native", "staged", "adam_0.1",
+     "adam_0.01", "adam_0.001"]
 )
 
 
@@ -128,38 +233,35 @@ _optimizer_choices = click.Choice(
 @click.option("-o", "--optimizer", type=_optimizer_choices, default="scipy")
 @click.pass_context
 def train(ctx, dataset, num_steps, optimizer):
-    main_ctx: Context = ctx.obj
-    optimize_fn = create_optimize_fn(
-        main_ctx.backend, dataset, main_ctx.logdir, num_steps, main_ctx.seed,
-        optimizer,
-    )
-    ctx.obj = ExecuteContext(main_ctx=main_ctx, dataset=dataset,
-                             callback_fn=optimize_fn)
+    ctx.obj = _Action(session=ctx.obj, dataset=dataset, kind="train",
+                      num_steps=num_steps, optimizer=optimizer)
 
 
 @main.group()
 @click.option("-d", "--dataset", type=DatasetType(), required=True)
 @click.pass_context
 def metric(ctx, dataset):
-    main_ctx: Context = ctx.obj
-    dst = Path(main_ctx.logdir, "metric.npy")
-    predict_fn = create_metric_fn(main_ctx.backend, dataset, dst)
-    ctx.obj = ExecuteContext(main_ctx=main_ctx, dataset=dataset,
-                             callback_fn=predict_fn)
+    session: Context = ctx.obj
+    ctx.obj = _Action(session=session, dataset=dataset, kind="metric",
+                      metric_dst=Path(session.logdir, "metric.npy"))
+
+
+_attach_leaves(train)
+_attach_leaves(metric)
 
 
 @main.command()
 @click.option("-d", "--dataset", type=DatasetType(), required=True)
 @click.option("-k", "--kernel", type=KernelConfigType(), required=True)
-@click.option("-p", "--param_file", type=click.Path(readable=True), required=True)
+@click.option("-p", "--param_file", type=click.Path(readable=True),
+              required=True)
 @click.pass_context
 def gpr_metric(ctx, dataset, kernel, param_file):
-    main_ctx: Context = ctx.obj
-    params_path = Path(param_file)
-    dst = Path(params_path.parent, "gpr_metric.npy")
-    fn = create_metric_fn(main_ctx.backend, dataset, dst)
-    ctx.obj = ExecuteContext(main_ctx=main_ctx, dataset=dataset, callback_fn=fn)
-    _execute_cb_on_model(ctx, GPRConfig(kernel()), param_file)
+    session: Context = ctx.obj
+    dst = Path(Path(param_file).parent, "gpr_metric.npy")
+    action = _Action(session=session, dataset=dataset, kind="metric",
+                     metric_dst=dst)
+    action.execute(GPRConfig(kernel()), param_file)
 
 
 @main.command()
@@ -167,95 +269,12 @@ def gpr_metric(ctx, dataset, kernel, param_file):
 @click.argument("baseline", type=click.Choice(["mean", "linear"]))
 @click.pass_context
 def baseline(ctx, baseline, dataset):
-    main_ctx: Context = ctx.obj
+    session: Context = ctx.obj
     fns = {"linear": linear_baseline, "mean": meanpred_baseline}
     results = fns[baseline](dataset)
     results["id"] = baseline
-    dump_json(results, Path(main_ctx.logdir, "results.json"))
-
-
-gpr_options = [
-    click.option("-m", "--model-class", type=GPRConfigType(), required=True),
-    click.option("-k", "--kernel", type=KernelConfigType(), required=True),
-    click.option("-p", "--param_file", type=click.Path(readable=True),
-                 required=False),
-]
-
-sgpr_options = [
-    click.option("-m", "--model-class", type=SGPRConfigType(), required=True),
-    click.option("-k", "--kernel", type=KernelConfigType(), required=True),
-    click.option("-i", "--inducing-variable", type=InducingVariableConfigType(),
-                 required=True),
-    click.option("-M", "--num-inducing-variables", default=100, type=int),
-    click.option("-p", "--param_file", type=click.Path(readable=True)),
-]
-
-cglb_options = sgpr_options + [
-    click.option("-e", "--max_error", type=float, default=1.0),
-    click.option("--vjoint/--no-vjoint", default=False),
-    click.option("--vzero/--no-vzero", default=False),
-]
-
-
-def add_options(options):
-    def _wrapper(f):
-        for option in reversed(options):
-            f = option(f)
-        return f
-
-    return _wrapper
-
-
-def _execute_cb_on_model(ctx, model_config: ModelConfig,
-                         params_file: Optional[str] = None):
-    exec_ctx: ExecuteContext = ctx.obj
-    main_ctx = exec_ctx.main_ctx
-    model = main_ctx.backend.create_model(
-        model_config, exec_ctx.dataset.train, seed=main_ctx.seed
-    )
-    if params_file:
-        model = main_ctx.backend.load(model, params_file)
-    exec_ctx.callback_fn(model)
-
-
-def _execute_cb_sgpr(ctx, model_class, kernel, inducing_variable,
-                     num_inducing_variables, param_file):
-    m = model_class(kernel(), inducing_variable(num_inducing_variables))
-    _execute_cb_on_model(ctx, m, param_file)
-
-
-def _execute_cb_cglb(ctx, model_class, kernel, inducing_variable,
-                     num_inducing_variables, param_file, max_error, vjoint,
-                     vzero):
-    m = model_class(
-        kernel(), inducing_variable(num_inducing_variables), max_error, vjoint,
-        vzero,
-    )
-    _execute_cb_on_model(ctx, m, param_file)
-
-
-def _execute_cb_gpr(ctx, model_class, kernel, param_file):
-    _execute_cb_on_model(ctx, model_class(kernel()), param_file)
-
-
-action_configs = [
-    ("sgpr", (sgpr_options, _execute_cb_sgpr)),
-    ("sgprn2m", (sgpr_options, _execute_cb_sgpr)),
-    ("cglb", (cglb_options, _execute_cb_cglb)),
-    ("cglbn2m", (cglb_options, _execute_cb_cglb)),
-    ("cglbnm2", (cglb_options, _execute_cb_cglb)),
-    ("gpr", (gpr_options, _execute_cb_gpr)),
-]
-
-train_actions = {
-    k: train.command(k)(add_options(o)(click.pass_context(c)))
-    for k, (o, c) in action_configs
-}
-
-metric_actions = {
-    k: metric.command(k)(add_options(o)(click.pass_context(c)))
-    for k, (o, c) in action_configs
-}
+    results["data"] = dataset.provenance
+    dump_json(results, Path(session.logdir, "results.json"))
 
 
 if __name__ == "__main__":

