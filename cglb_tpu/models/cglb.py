@@ -58,9 +58,12 @@ class CGLBConfig:
     # N=40k); preconditioning tolerates the 1e-7 noise.  Set "float64" for
     # bitwise-fp64 paths.
     precond_dtype: str = static_field(default="float32")
-    # "float64" (exact, chunked at scale) or "mixed" (bf16-packed distances +
-    # f32 solve/AAT — ~2x faster fevals at ~1e-5 relative bound error)
-    common_dtype: str = static_field(default="float64")
+    # "mixed" (default): fp64 distance assembly + two-float-f32 kernel profile
+    # (ops/df32, ~1e-11/entry) + fp64 solves — avoids TPU's emulated-fp64
+    # transcendentals at matching-to-~1e-14 bound values (identical-v
+    # comparison; PERF.md).  "float64": all-fp64 (chunked at scale), for
+    # bitwise reference semantics.
+    common_dtype: str = static_field(default="mixed")
 
     @property
     def v_is_external(self) -> bool:
@@ -123,10 +126,21 @@ def _logdet_bound(params: SGPRParams, ct: CommonTerms, X, Y,
 
 
 def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig):
+    """Nystrom preconditioner in cfg.precond_dtype.
+
+    LB is re-derived from the SAME cast A the preconditioner applies, not
+    taken from ct: the Woodbury identity (I - A^T (A A^T + I)^-1 A)/s2 is
+    only guaranteed positive when both factors describe the same A.  Mixing
+    the fp64-accurate ct.LB with a lower-precision A made the quadratic form
+    r^T P^-1 r go (hugely) negative at trained hyperparameters, silently
+    short-circuiting CG's stopping rule — caught driving the CLI end-to-end.
+    One extra [M, N]x[N, M] matmul + [M, M] cholesky per objective, outside
+    the CG loop."""
     pd = jnp.dtype(cfg.precond_dtype)
-    return _pc.NystromPreconditioner(
-        A=ct.A.astype(pd), LB=ct.LB.astype(pd), sigma_sq=sigma_sq
-    )
+    A = ct.A.astype(pd)
+    M = A.shape[0]
+    LB = jnp.linalg.cholesky(A @ A.T + jnp.eye(M, dtype=pd))
+    return _pc.NystromPreconditioner(A=A, LB=LB, sigma_sq=sigma_sq)
 
 
 def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
@@ -180,13 +194,17 @@ def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
 
     N, D = Y.shape
     mixed = cfg.common_dtype == "mixed"
+    # the n2m logdet ablation consumes full-precision A [M, N]; the gram fast
+    # path only materializes A in the preconditioner dtype
+    gram = mixed and cfg.logdet_variant != "n2m"
+    kw = dict(mixed=mixed, gram=gram, a_dtype=jnp.dtype(cfg.precond_dtype))
     if remat_common_terms:
         ct = jax.checkpoint(
-            lambda p, x: common_terms(p, x, jitter, mixed=mixed),
+            lambda p, x: common_terms(p, x, jitter, **kw),
             static_argnums=(),
         )(params, X)
     else:
-        ct = common_terms(params, X, jitter, mixed=mixed)
+        ct = common_terms(params, X, jitter, **kw)
     b = -0.5 * N * D * math.log(2.0 * math.pi)
     b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
     quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec)

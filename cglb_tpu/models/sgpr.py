@@ -118,7 +118,7 @@ CHUNK_THRESHOLD_ELEMENTS = 32 * 1024 * 1024
 
 
 def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
-               chunk_size: int = None, kernel_f32: bool = False):
+               chunk_size: int = None, kernel_df32: bool = False):
     """A = L^-1 Kuf / sigma_scale, AAT = A A^T, and optionally AW = A @ W —
     computed in column chunks under ``lax.map`` when N*M is large, so every
     fp64 contraction stays at [M, chunk] (exact fp64 either way).
@@ -135,8 +135,8 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
         chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
 
     def kuf_block(xc):
-        if kernel_f32:
-            return _kuf_block_f32(params, Z, xc)
+        if kernel_df32:
+            return _kuf_block_df32(params, Z, xc)
         return _k.K(params.kernel, Z, xc)
 
     if chunk_size is None or N <= chunk_size:
@@ -174,48 +174,111 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     return A, AAT, AW
 
 
-def _kuf_block_f32(params: SGPRParams, Z, Xc):
-    """Kuf block via bf16 lane-packed distances + f32 kernel values, promoted
-    to the working dtype.  The fp64 *elementwise* kernel build (emulated exp,
-    d2 assembly) dominates common-terms time on TPU; entry-wise f32 error
-    (~1e-7 relative, same as the streaming matvec) is harmless because every
-    downstream accumulation stays fp64."""
-    import math as _math
+def _kuf_block_df32(params: SGPRParams, Z, Xc):
+    """Kuf block at fp64-grade accuracy without fp64 transcendentals.
 
-    from ..ops import matvec_pallas as _mvp
+    The fp64 *elementwise* kernel profile (emulated sqrt/exp over N*M
+    entries) dominates common-terms time on TPU.  Here the squared distance
+    is assembled exactly in fp64 (one small-D matmul + O(NM) adds — cheap),
+    and the profile rho(d2) is evaluated in compensated two-float f32
+    arithmetic (ops/df32): ~1e-11 relative per entry, ~f32 cost.  Round 1's
+    plain-f32 build (1e-7 per entry) lost ~3e-4 on the bound because the
+    L^-1 trisolve amplifies entry errors by kappa(Kuu) — df32 keeps the
+    amplified error below 1e-8 (PERF.md)."""
+    from ..ops import df32 as _df
 
     ls = params.kernel.lengthscales.value
     var = params.kernel.variance.value
-    f32 = jnp.float32
-
-    Zs = Z / ls
-    Xs = Xc / ls
-    zsplit = _mvp._bf16_split4(Zs)
-    xsplit = _mvp._bf16_split4(Xs)
-    cross = None
-    for a, b in _mvp._PAIRS:
-        c = jnp.dot(zsplit[a], xsplit[b].T, preferred_element_type=f32)
-        cross = c if cross is None else cross + c
-    zn = jnp.sum(Zs * Zs, axis=1).astype(f32)
-    xn = jnp.sum(Xs * Xs, axis=1).astype(f32)
-    d2 = jnp.maximum(zn[:, None] + xn[None, :] - 2.0 * cross, 0.0)
+    d2 = _k.scaled_sq_dist(Z, Xc, ls)
     if isinstance(params.kernel, _k.SquaredExponential):
-        rho = jnp.exp(-0.5 * d2)
+        rho = _df.rbf_unit(d2)
     else:
-        r = jnp.sqrt(d2 + jnp.asarray(1e-30, f32))  # sqrt-grad guard at d2=0
-        s3r = _math.sqrt(3.0) * r
-        rho = (1.0 + s3r) * jnp.exp(-s3r)
-    return var * rho.astype(Z.dtype)
+        rho = _df.matern32_unit(d2)
+    return var * rho
+
+
+def _gram_terms(params: SGPRParams, L, X, sigma, chunk_size: int = None,
+                a_dtype=jnp.float32):
+    """Mixed-mode fast path: the O(N M^2) work never runs through TPU's
+    emulated-fp64 triangular solve.
+
+    Measured on v5e at M=2048, N=40960 (PERF.md): the emulated-fp64 trisolve
+    L^-1 Kuf is 606 ms while an emulated-fp64 matmul of the same FLOPs is
+    200 ms.  So accumulate the fp64 Gram matrix G = Kuf Kuf^T (and U =
+    Kuf @ W) over column chunks — matmuls only — then form
+
+        AAT = L^-1 G L^-T / sigma^2     (two [M, M] fp64 trisolves, ~1/20 N/M
+        AW  = L^-1 U / sigma            of the big-solve cost)
+
+    A itself is materialized only in ``a_dtype`` (default f32, via an f32
+    trisolve — backward-stable, unlike an explicit inverse whose
+    eps32*kappa(L) error made the Woodbury preconditioner indefinite in an
+    early version): its sole consumer in the training loss is the Nystrom
+    preconditioner, which casts to f32 anyway (models/cglb.py precond_dtype;
+    the preconditioner re-derives its own LB from this A so its Woodbury
+    identity stays self-consistent).  Error note: the AAT sandwich inherits
+    ~eps64 kappa(L)^2 instead of the trisolve's eps64 kappa(L); with the
+    1e-6 jitter floor that is <=1e-10 relative on AAT — validated against
+    the trisolve path in tests.
+    """
+    import jax
+
+    Z = params.inducing_Z.value
+    M = Z.shape[0]
+    N = X.shape[0]
+
+    if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
+        chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
+
+    L_cast = L.astype(a_dtype)
+    sigma_cast = sigma.astype(a_dtype)
+
+    def chunk_part(xc, mask):
+        kuf_c = _kuf_block_df32(params, Z, xc) * mask[None, :]
+        a_c = jsl.solve_triangular(
+            L_cast, kuf_c.astype(a_dtype), lower=True
+        ) / sigma_cast
+        return kuf_c @ kuf_c.T, a_c
+
+    if chunk_size is None or N <= chunk_size:
+        G, A = chunk_part(X, jnp.ones((N,), dtype=X.dtype))
+    else:
+        n_chunks = -(-N // chunk_size)
+        n_pad = n_chunks * chunk_size
+        Xp = jnp.pad(X, ((0, n_pad - N), (0, 0)), mode="edge")
+        Xc = Xp.reshape(n_chunks, chunk_size, X.shape[1])
+        col_ids = jnp.arange(n_pad).reshape(n_chunks, chunk_size)
+        masks = (col_ids < N).astype(X.dtype)
+        G_parts, A_stack = jax.lax.map(
+            lambda args: chunk_part(*args), (Xc, masks)
+        )
+        G = jnp.sum(G_parts, axis=0)
+        A = jnp.moveaxis(A_stack, 0, 1).reshape(M, n_pad)[:, :N]
+
+    T1 = jsl.solve_triangular(L, G, lower=True)
+    AAT = jsl.solve_triangular(L, T1.T, lower=True) / (sigma * sigma)
+    # symmetrize: the two solves round differently above/below the diagonal
+    AAT = 0.5 * (AAT + AAT.T)
+    return A, AAT
 
 
 def common_terms(params: SGPRParams, X, jitter: float = None,
-                 chunk_size: int = None, mixed: bool = False) -> CommonTerms:
+                 chunk_size: int = None, mixed: bool = False,
+                 gram: bool = None, a_dtype=jnp.float32) -> CommonTerms:
     """Reference semantics: cglb/backend/tensorflow/models.py:58-75.
 
     For large N the fp64 path runs the O(N M) solve in column chunks under
     ``lax.map`` so the fp64-emulation temporaries stay bounded (exact fp64
-    math either way); ``mixed=True`` selects the f32/bf16-packed fast path
-    (see _mixed_kuf_terms).
+    math either way).
+
+    ``mixed=True`` evaluates the kernel profile in df32 (two-float f32,
+    ~1e-11 per entry — see _kuf_block_df32) and, with ``gram`` (defaults to
+    ``mixed``), restructures the O(N M^2) contractions into Gram-matrix
+    matmuls so no emulated-fp64 trisolve touches the [M, N] block (see
+    _gram_terms); A is then materialized in ``a_dtype`` (f32 default — its
+    only training-loss consumer is the f32 Nystrom preconditioner).  Paths
+    needing exact fp64 A at scale (the N2M ablation, prediction) pass
+    gram=False.
     """
     from .. import config as _config
 
@@ -224,11 +287,18 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
     M = Z.shape[0]
     L = _kuu_chol(params, jitter)
     sigma = jnp.sqrt(params.noise_variance.value)
-    # mixed = f32 kernel build + fp64 chunked solves/AAT: full-f32 solves were
-    # tried and go unstable when sigma^2 shrinks (||AAT|| ~ 1/sigma^2 makes the
-    # f32 accumulation noise exceed B's unit eigenvalues -> NaN cholesky)
-    A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size,
-                           kernel_f32=mixed)
+    gram = mixed if gram is None else gram
+    if mixed and gram:
+        A, AAT = _gram_terms(params, L, X, sigma, chunk_size=chunk_size,
+                             a_dtype=a_dtype)
+    else:
+        # fp64 chunked solves/AAT (df32 kernel build when mixed).  Full-f32
+        # solves were tried and go unstable when sigma^2 shrinks
+        # (||AAT|| ~ 1/sigma^2 makes the f32 accumulation noise exceed B's
+        # unit eigenvalues -> NaN cholesky); plain-f32 kernel values lose
+        # ~3e-4 on the bound (round 1).
+        A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size,
+                               kernel_df32=mixed)
     B = AAT + jnp.eye(M, dtype=Z.dtype)
     LB = jnp.linalg.cholesky(B)
     return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)

@@ -57,7 +57,15 @@ def mat_vec(precond, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         u = jsl.solve_triangular(LB, Ar, lower=True)
         w = jsl.solve_triangular(LB.T, u, lower=False)
         rv = rt - jnp.dot(A.T, w, precision=hi)  # [N, B]
-        rz = jnp.sum(rv * rt, axis=0)  # [B]
+        # r^T Qhat^-1 r via the sum-of-squares identity: with w = B^-1 A r and
+        # rv = r - A^T w one has A rv = Ar - (B - I) w = w, hence
+        #   r^T Qhat^-1 r = (rv^T Qhat rv)/sigma^4 = (||rv||^2 + ||w||^2)/s2.
+        # The naive sum(rv * rt) is a catastrophic cancellation when r lies
+        # mostly in Qhat's range (||P r|| << ||r||): its fp error ~eps ||r||^2
+        # went hugely NEGATIVE at line-search extremes, short-circuiting CG's
+        # stopping rule and exploding the error-bound term (caught end-to-end
+        # on snelson1d).  This form is exact and nonnegative by construction.
+        rz = jnp.sum(rv * rv, axis=0) + jnp.sum(w * w, axis=0)  # [B]
         z = rv.T.astype(r.dtype) / sigma_sq
         return z, rz.astype(r.dtype) / sigma_sq
     raise NotImplementedError(type(precond))

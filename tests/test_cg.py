@@ -128,3 +128,31 @@ def test_cg_restart_path_still_converges(rng):
     )
     want = np.linalg.solve(K, b[0])
     np.testing.assert_allclose(np.asarray(v)[0], want, rtol=1e-5, atol=1e-7)
+
+
+def test_precond_quadratic_form_nonnegative_under_cancellation(rng):
+    """Regression: rz = r^T (Qff + s2 I)^-1 r computed the naive way
+    (sum(P r * r)) cancels catastrophically in f32 when r lies mostly in
+    Qff's range with large norm — it went hugely NEGATIVE at L-BFGS
+    line-search extremes, short-circuiting CG's stopping rule.  The
+    sum-of-squares identity must stay nonnegative and accurate."""
+    n, m = 200, 32
+    U = rng.normal(size=(n, m))
+    sigma_sq = 1e-6  # collapsed noise: ||r||^2 / rz ~ 1e9 amplification
+    A = (U / np.sqrt(sigma_sq)).T
+    B = A @ A.T + np.eye(m)
+    LB = np.linalg.cholesky(B)
+    # r almost entirely in the range of Qff, scaled large
+    r = (U @ rng.normal(size=(m,)) * 1e3 + 1e-4 * rng.normal(size=(n,)))[None]
+
+    for dt in (np.float64, np.float32):
+        P = pc.NystromPreconditioner(
+            A=jnp.asarray(A, dt), LB=jnp.asarray(LB, dt),
+            sigma_sq=jnp.asarray(sigma_sq),
+        )
+        _, rz = pc.mat_vec(P, jnp.asarray(r))
+        want = float(r[0] @ np.linalg.solve(U @ U.T + sigma_sq * np.eye(n),
+                                            r[0]))
+        assert float(rz[0]) >= 0.0, dt
+        rtol = 1e-8 if dt == np.float64 else 2e-5
+        np.testing.assert_allclose(float(rz[0]), want, rtol=rtol)
