@@ -278,7 +278,9 @@ class Jax:
 
     name = "jax"
     matvec_mode = "auto"  # "auto" | "dense" | "streaming" (CLI --matvec)
-    common_dtype = "float64"  # "float64" | "mixed" (CLI --common-dtype)
+    # "mixed" (default: df32 kernel profile + fp64 solves, fp64-grade; see
+    # models/sgpr._kuf_block_df32) | "float64" (all-fp64, CLI --common-dtype)
+    common_dtype = "mixed"
 
     @classmethod
     def configure_backend(cls, **kwargs):
@@ -421,10 +423,19 @@ class Jax:
 
         stats_fn = feval_stats if model.kind in _CGLB_KINDS else None
         data = model.data
+
+        def sync_fn(params, state):
+            # publish the live iterate so the Logger's metric closures (which
+            # read from the model object) evaluate at CURRENT parameters —
+            # matches the reference, where params are assigned into the live
+            # model on every feval (pytorch/optimizer.py:42-46, gpflow Scipy)
+            model.params = params
+            model._carry_out(state)
+
         if optimizer is None or optimizer == "scipy":
             res = _training.scipy_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
-                feval_stats_fn=stats_fn, data=data,
+                feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
             )
         elif optimizer == "scipy4":
             # torch-backend schedule: 4 restarts, inducing points frozen
@@ -432,28 +443,30 @@ class Jax:
             res = _training.scipy_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
                 attempts=4, freeze_inducing_after=2,
-                feval_stats_fn=stats_fn, data=data,
+                feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
             )
         elif optimizer == "lbfgs":
             res = _training.lbfgs_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
-                feval_stats_fn=stats_fn, data=data,
+                feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
             )
         elif optimizer == "lbfgs_native":
             res = _training.native_lbfgs_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
-                feval_stats_fn=stats_fn, data=data,
+                feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
             )
         elif optimizer == "staged" and model.kind == "gpr":
             # reference exact-GP baseline schedule (pytorch/interface.py:326-442)
             X, Y = model.data
             res = _training.staged_gpr_optimize(
-                loss_fn, model.params, X, Y, num_steps, logger
+                loss_fn, model.params, X, Y, num_steps, logger,
+                sync_fn=sync_fn,
             )
         elif optimizer.startswith("adam"):
             lr = float(optimizer.split("_", maxsplit=1)[1])
             res = _training.adam_minimize(
-                loss_fn, model.params, carry, num_steps, lr, logger, data=data
+                loss_fn, model.params, carry, num_steps, lr, logger,
+                data=data, sync_fn=sync_fn,
             )
         else:
             raise NotImplementedError(optimizer)

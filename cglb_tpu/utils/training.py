@@ -82,6 +82,7 @@ def scipy_minimize(
     feval_stats_fn: Callable[[Any], dict] = None,
     data: tuple = (),
     freeze_inducing_after: Optional[int] = None,
+    sync_fn: Callable[[Any, Any], None] = None,
 ) -> OptimizeResult:
     """L-BFGS-B on the host, jitted loss+grad on device.
 
@@ -121,6 +122,12 @@ def scipy_minimize(
         return float(loss), np.asarray(g, dtype=np.float64)
 
     def callback(xk):
+        # publish the accepted iterate BEFORE the logger fires: the logger's
+        # metric closures read live state from the model object, and without
+        # this every mid-run holdout metric silently evaluated at the INITIAL
+        # parameters (caught end-to-end: flat metric-vs-time curves).
+        if sync_fn is not None:
+            sync_fn(holder["unflatten"](xk), holder["state"])
         if logger is not None:
             logger(None)
 
@@ -172,6 +179,7 @@ def adam_minimize(
     learning_rate: float = 0.01,
     logger: Optional[Logger] = None,
     data: tuple = (),
+    sync_fn: Callable[[Any, Any], None] = None,
 ) -> OptimizeResult:
     """On-device Adam loop; one jitted step reused for all iterations."""
     opt = optax.adam(learning_rate)
@@ -195,6 +203,8 @@ def adam_minimize(
     for i in range(num_steps):
         params, opt_state, state, loss = step(params, opt_state, state, *data)
         if logger is not None:
+            if sync_fn is not None:
+                sync_fn(params, state)
             logger(i)
     return OptimizeResult(params=params, state=state, num_iters=num_steps,
                          final_loss=float(loss))
@@ -209,6 +219,7 @@ def native_lbfgs_minimize(
     history: int = 15,
     feval_stats_fn: Callable[[Any], dict] = None,
     data: tuple = (),
+    sync_fn: Callable[[Any, Any], None] = None,
 ) -> OptimizeResult:
     """First-party C++ L-BFGS driver (native/lbfgs.cpp) with strong-Wolfe line
     search: replaces scipy's Fortran L-BFGS-B in the same host-driver role
@@ -245,6 +256,8 @@ def native_lbfgs_minimize(
         status, x = opt.step(x, f, g)
         if status == NativeLBFGS.ACCEPTED:
             iters += 1
+            if sync_fn is not None:
+                sync_fn(holder["params"], holder["state"])
             if logger is not None:
                 logger(iters)
         elif status in (NativeLBFGS.CONVERGED, NativeLBFGS.FAIL):
@@ -273,6 +286,7 @@ def staged_gpr_optimize(
     warmup_lbfgs_iters: int = 10,
     warmup_adam_iters: int = 10,
     adam_lr: float = 0.1,
+    sync_fn: Callable[[Any, Any], None] = None,
 ) -> OptimizeResult:
     """The reference's exact-GP baseline training schedule (pytorch/
     interface.py:326-442): L-BFGS on a <=10k subset, a few Adam steps on the
@@ -299,7 +313,8 @@ def staged_gpr_optimize(
     params = res.params
     # phase 3: Adam on the full data
     res = adam_minimize(loss_fn, params, None, num_steps,
-                        learning_rate=adam_lr, logger=logger, data=full_data)
+                        learning_rate=adam_lr, logger=logger, data=full_data,
+                        sync_fn=sync_fn)
     return res
 
 
@@ -312,6 +327,7 @@ def lbfgs_minimize(
     memory_size: int = 15,
     feval_stats_fn: Callable[[Any], dict] = None,
     data: tuple = (),
+    sync_fn: Callable[[Any, Any], None] = None,
 ) -> OptimizeResult:
     """Pure-JAX L-BFGS with zoom linesearch (optax.lbfgs) — everything on device.
 
@@ -345,6 +361,8 @@ def lbfgs_minimize(
     for i in range(num_steps):
         params, opt_state, state, loss = step(params, opt_state, state, *data)
         if logger is not None:
+            if sync_fn is not None:
+                sync_fn(params, state)
             if feval_stats_fn is not None:
                 logger.log_for_feval(**feval_stats_fn(state))
             logger(i)

@@ -198,3 +198,35 @@ def test_logger_no_recording_context(tmp_path):
     assert "x-per-feval" not in logger.logs
     logger(1)
     assert "loss" in logger.logs
+
+
+def test_logger_metrics_track_live_params(rng, tmp_path):
+    """Mid-run holdout metrics must be evaluated at the CURRENT optimizer
+    iterate, not the initial parameters (regression: the model object was
+    only updated after scipy finished, so every metric-vs-time curve was
+    flat at the init values).  Reference assigns params into the live model
+    on every feval (pytorch/optimizer.py:42-46)."""
+    from cglb_tpu.backend import Jax
+    from cglb_tpu.configs import CGLBConfig, InducingVariableConfig, \
+        Matern32Config
+    from cglb_tpu.experiments.datasets import get_dataset
+    from cglb_tpu.utils.logging import Logger
+
+    bundle = get_dataset("synth_150x2")
+    model = Jax.create_model(
+        CGLBConfig(Matern32Config(), InducingVariableConfig(8)), bundle.train,
+        seed=0,
+    )
+    metrics_fn = Jax.metrics_fn(model, bundle.to_tuple())
+    logger = Logger(str(tmp_path), metrics_fn,
+                    lambda: Jax.model_parameters(model), holdout_interval=1,
+                    tensorboard=False)
+    Jax.optimize(model, bundle.to_tuple(), num_steps=6, logger=logger,
+                 optimizer="scipy")
+    losses = [float(x) for x in logger.logs["loss"]]
+    variances = [float(np.asarray(p[".kernel.variance"]))
+                 for p in logger.logs["params"]]
+    assert len(losses) >= 3
+    assert len(set(np.round(losses, 10))) > 1, "metrics frozen at init params"
+    assert len(set(np.round(variances, 12))) > 1, "params frozen in logs"
+    assert losses[-1] < losses[0]
