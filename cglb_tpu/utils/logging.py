@@ -7,8 +7,8 @@ stats are recorded on every function evaluation; parameter histories are logged
 with inducing points excluded.
 
 Sinks: in-memory logs dict (dumped to logs.json by the CLI), console one-liner
-per holdout step, and optional TensorBoard scalars when a writer is available
-(torch.utils.tensorboard here vs gpflow monitor in the reference).
+per holdout step, and TensorBoard scalars via the first-party event-file
+writer (utils/tfevents — vs gpflow monitor in the reference).
 """
 
 from __future__ import annotations
@@ -59,10 +59,13 @@ class StopWatch:
 
 
 def _make_tb_writer(logdir: str):
+    """First-party event-file writer — no torch/TF dependency (round 1 used
+    torch.utils.tensorboard, which silently dropped the TB sink when torch was
+    absent)."""
     try:
-        from torch.utils.tensorboard import SummaryWriter  # type: ignore
+        from .tfevents import EventFileWriter
 
-        return SummaryWriter(log_dir=logdir)
+        return EventFileWriter(logdir)
     except Exception:
         return None
 
