@@ -204,9 +204,10 @@ def _attach_leaves(group: click.Group) -> None:
 @click.option("--keops/--no-keops", "keops", default=None,
               help="compat alias: --keops == --matvec streaming")
 @click.option("--common-dtype", type=click.Choice(["float64", "mixed"]),
-              default="float64",
-              help="mixed = bf16-packed/f32 common terms (faster fevals; see"
-                   " PERF.md for the accuracy envelope)")
+              default="mixed",
+              help="mixed (default) = df32 kernel profile + fp64 solves, "
+                   "fp64-grade accuracy without emulated-fp64 transcendentals;"
+                   " float64 = all-fp64 (see PERF.md)")
 @click.pass_context
 def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype):
     logdir_path = Path(logdir).expanduser().resolve()
@@ -250,7 +251,7 @@ _attach_leaves(train)
 _attach_leaves(metric)
 
 
-@main.command()
+@main.command("gpr_metric")
 @click.option("-d", "--dataset", type=DatasetType(), required=True)
 @click.option("-k", "--kernel", type=KernelConfigType(), required=True)
 @click.option("-p", "--param_file", type=click.Path(readable=True),

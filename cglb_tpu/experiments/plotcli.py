@@ -24,7 +24,7 @@ def main(ctx, root):
     ctx.obj = load_experiments(root)
 
 
-@main.command()
+@main.command("results_table")
 @click.option("-f", "--fmt", type=click.Choice(["markdown", "latex", "csv",
                                                 "plain"]), default="markdown")
 @click.option("-o", "--output", type=click.Path(), default=None)
@@ -81,13 +81,17 @@ def cgstep(ctx, output_dir):
         click.echo(f"wrote {fname}")
 
 
-@main.command()
+@main.command("gpr_table")
 @click.option("-f", "--fmt", type=click.Choice(["markdown", "latex", "csv",
-                                                "plain"]), default="markdown")
+                                                "plain"]), default="latex")
+@click.option("-o", "--output", type=click.Path(), default=None)
 @click.pass_context
-def gpr_table(ctx, fmt):
-    exps = [e for e in ctx.obj if e.model == "gpr"]
-    TablePrinter(exps).print(fmt, metrics=("lml", "test/rmse", "test/nlpd"))
+def gpr_table(ctx, fmt, output):
+    """Paper-style baseline table: dataset rows x (model, metric) columns
+    (reference: plotting.py:636-708)."""
+    s = TablePrinter(ctx.obj).print_gpr_table(fmt)
+    if output:
+        Path(output).write_text(s)
 
 
 if __name__ == "__main__":

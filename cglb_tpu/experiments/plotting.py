@@ -96,16 +96,26 @@ def load_experiments(root) -> List[ExpData]:
     return out
 
 
-def _resample(x, y, grid):
-    """Piecewise-linear resampling of (x, y) onto grid, NaN outside support
-    (the reference spline-resamples onto a common time grid,
-    plotting.py:279-396)."""
+def _resample(x, y, grid, kind: str = "spline"):
+    """Resample (x, y) onto a common grid, NaN outside support (the reference
+    spline-resamples onto a common time grid, plotting.py:279-396).
+
+    kind="spline" uses a shape-preserving cubic (PCHIP — monotone segments
+    cannot overshoot, unlike an unconstrained cubic on noisy metric curves);
+    series too short for a cubic, duplicate abscissae, or kind="linear" fall
+    back to piecewise-linear."""
     x, y = np.asarray(x, float), np.asarray(y, float)
     if len(x) < 2:
         return np.full_like(grid, np.nan, dtype=float)
     order = np.argsort(x)
     x, y = x[order], y[order]
-    out = np.interp(grid, x, y, left=np.nan, right=np.nan)
+    if kind == "spline" and len(x) >= 4 and np.all(np.diff(x) > 0):
+        from scipy.interpolate import PchipInterpolator
+
+        out = PchipInterpolator(x, y)(grid)
+    else:
+        out = np.interp(grid, x, y)
+    out = np.where((grid < x[0]) | (grid > x[-1]), np.nan, out)
     return out
 
 
@@ -130,7 +140,8 @@ class Plotter:
         return groups
 
     def plot_metric(self, dataset: str, metric: str = "test/rmse",
-                    x_axis: str = "elapsed_time", ax=None, num_points: int = 200):
+                    x_axis: str = "elapsed_time", ax=None, num_points: int = 200,
+                    resample: str = "spline"):
         """Median + IQR band of `metric` vs time or iteration per uid group."""
         import matplotlib.pyplot as plt
 
@@ -148,7 +159,8 @@ class Plotter:
             hi = max(x.max() for x in xs)
             lo = min(x.min() for x in xs)
             grid = np.linspace(lo, hi, num_points)
-            resampled = [_resample(x, y, grid) for x, y in zip(xs, ys)]
+            resampled = [_resample(x, y, grid, kind=resample)
+                         for x, y in zip(xs, ys)]
             med, q1, q3 = _median_iqr(resampled)
             model = runs[0].model
             color, ls, label = MODEL_STYLE.get(model, ("k", "-", model))
@@ -162,31 +174,52 @@ class Plotter:
         ax.legend(fontsize=8)
         return ax
 
-    def plot_cg_steps(self, dataset: str, ax=None, smooth: int = 25):
-        """CG steps per function evaluation (reference: plotting.py:491-585)."""
+    def plot_cg_steps(self, dataset: str, ax=None, smooth_std: float = 5.0,
+                      boxplot_inset: bool = True, max_fevals: int = 1500):
+        """CG steps per function evaluation: gaussian-smoothed mean curve per
+        uid with the faint raw mean behind it, plus a horizontal boxplot inset
+        of the full per-feval step distribution (whiskers at the 5th/95th
+        percentiles).  Reference behavior: plotting.py:491-585."""
         import matplotlib.pyplot as plt
+        from scipy.ndimage import gaussian_filter1d
 
         if ax is None:
-            _, ax = plt.subplots(figsize=(6, 4))
+            _, ax = plt.subplots(figsize=(5.2, 3.2))
+        dists, colors, labels = [], [], []
         for uid, runs in sorted(self._grouped(dataset).items()):
-            series = [r.series("cg/steps-per-feval") for r in runs
+            series = [r.series("cg/steps-per-feval")[:max_fevals] for r in runs
                       if len(r.series("cg/steps-per-feval"))]
             if not series:
                 continue
             ln = min(len(s) for s in series)
             stacked = np.vstack([s[:ln] for s in series])
-            med = np.median(stacked, axis=0)
-            if smooth > 1 and len(med) > smooth:
-                kern = np.ones(smooth) / smooth
-                med = np.convolve(med, kern, mode="valid")
+            mean = np.mean(stacked, axis=0)
             model = runs[0].model
             color, ls, label = MODEL_STYLE.get(model, ("k", "-", model))
             suffix = f" M={runs[0].num_inducing}" if runs[0].num_inducing else ""
-            ax.plot(med, color=color, linestyle=ls, label=label + suffix)
+            ax.plot(mean, alpha=0.15, color=color, linewidth=0.8)
+            if smooth_std > 0 and len(mean) > 3 * smooth_std:
+                mean = gaussian_filter1d(mean, smooth_std)
+            ax.plot(mean, color=color, linestyle=ls, label=label + suffix)
+            dists.append(stacked.reshape(-1))
+            colors.append(color)
+            labels.append(label + suffix)
+        if boxplot_inset and dists:
+            inset = ax.inset_axes([0.62, 0.58, 0.34, 0.36])
+            bps = inset.boxplot(dists, vert=False, sym="", whis=(5, 95),
+                                tick_labels=labels)
+            for i, median in enumerate(bps["medians"]):
+                median.set(color=colors[i], linewidth=2.0)
+            for i, box in enumerate(bps["boxes"]):
+                box.set(color=colors[i])
+            for i in range(len(dists)):
+                for w in bps["whiskers"][2 * i: 2 * i + 2]:
+                    w.set(color=colors[i])
+            inset.tick_params(labelsize=6)
         ax.set_xlabel("function evaluation")
         ax.set_ylabel("CG steps")
         ax.set_title(dataset)
-        ax.legend(fontsize=8)
+        ax.legend(fontsize=8, loc="lower left")
         return ax
 
 
@@ -215,16 +248,46 @@ class TablePrinter:
             columns=["seed"], errors="ignore"
         )
 
+    def gpr_pivot(self, metrics=("lml", "test/rmse", "test/nlpd")):
+        """The paper's GPR-baseline layout: one row per dataset, one column
+        per (model, metric), medians over seeds (reference:
+        plotting.py:636-708 print_gpr_table)."""
+        import pandas as pd
+
+        rows = []
+        for e in self.experiments:
+            if not e.results:
+                continue
+            for m in metrics:
+                if m in e.results:
+                    rows.append({
+                        "dataset": e.dataset, "model": e.model,
+                        "metric": m, "value": float(np.asarray(e.results[m])),
+                    })
+        df = pd.DataFrame(rows)
+        if df.empty:
+            return df
+        return df.pivot_table(index="dataset", columns=["model", "metric"],
+                              values="value", aggfunc="median")
+
+    @staticmethod
+    def _render(df, fmt: str) -> str:
+        if fmt == "latex":
+            return df.to_latex(float_format="%.4f")
+        if fmt == "markdown":
+            return df.to_markdown(floatfmt=".4f")
+        if fmt == "csv":
+            return df.to_csv(float_format="%.6f")
+        return str(df)
+
     def print(self, fmt: str = "markdown", metrics=("loss", "test/rmse",
                                                     "test/nlpd")) -> str:
-        df = self.dataframe(metrics)
-        if fmt == "latex":
-            s = df.to_latex(float_format="%.4f")
-        elif fmt == "markdown":
-            s = df.to_markdown(floatfmt=".4f")
-        elif fmt == "csv":
-            s = df.to_csv(float_format="%.6f")
-        else:
-            s = str(df)
+        s = self._render(self.dataframe(metrics), fmt)
+        print(s)
+        return s
+
+    def print_gpr_table(self, fmt: str = "latex",
+                        metrics=("lml", "test/rmse", "test/nlpd")) -> str:
+        s = self._render(self.gpr_pivot(metrics), fmt)
         print(s)
         return s
