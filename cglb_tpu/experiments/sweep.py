@@ -101,9 +101,17 @@ def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
 
     if num_proc <= 1:
         results = [_run(cmd) for cmd in cmds]
-    else:
+    elif cmds:
+        # Warm the persistent XLA compilation cache on the FIRST point before
+        # fanning out: cold fp64/mixed CGLB compiles are minutes (PERF.md),
+        # and num_proc parallel cold starts would each pay that compile for
+        # the same (shape, config) instead of hitting the cache written by
+        # the first run.
+        results = [_run(cmds[0])]
         with ThreadPoolExecutor(max_workers=num_proc) as pool:
-            results = list(pool.map(_run, cmds))
+            results += list(pool.map(_run, cmds[1:]))
+    else:
+        results = []
     return sum(results)
 
 

@@ -178,21 +178,32 @@ def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
     return -ub, aux
 
 
+# above this many Kuf elements the common terms are rematerialized in the
+# backward pass: stored residuals run ~30-40 bytes/element (fp64 Kuf + d2 +
+# f32 A + df32 intermediates), so 200M elements ~ 7 GB — near a v5e chip's
+# budget once CG state and the packed matvec tensors are resident too
+REMAT_THRESHOLD_ELEMENTS = 200 * 1024 * 1024
+
+
 def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
           jitter: float = None, matvec: Optional[Callable] = None,
-          remat_common_terms: bool = True) -> Tuple[jnp.ndarray, CGLBAux]:
+          remat_common_terms: Optional[bool] = None
+          ) -> Tuple[jnp.ndarray, CGLBAux]:
     """The CGLB lower bound on log p(Y|X).  Returns (bound, aux).
 
     reference: tensorflow/models.py:175-192.
 
     remat_common_terms: rematerialize Kuf/A/AAT in the backward pass instead
-    of storing the O(N M) fp64 intermediates (HBM: the stored residuals of the
-    kernel build + triangular solve exceed a chip at N=40k, M=2048; recompute
-    costs one extra forward O(N M^2) pass).
+    of storing the O(N M) intermediates.  Default (None) decides by size:
+    storing beats recomputing when it fits — measured 2.05 s vs 2.79 s per
+    loss+grad at kin40k/M=2048 on v5e (PERF.md) — and the gram-form mixed
+    path stores little enough that kin40k-scale problems fit comfortably.
     """
     import jax
 
     N, D = Y.shape
+    if remat_common_terms is None:
+        remat_common_terms = N * params.num_inducing > REMAT_THRESHOLD_ELEMENTS
     mixed = cfg.common_dtype == "mixed"
     # the n2m logdet ablation consumes full-precision A [M, N]; the gram fast
     # path only materializes A in the preconditioner dtype

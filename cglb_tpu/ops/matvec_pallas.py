@@ -208,8 +208,11 @@ def _ls_grad_kernel(spec: _Spec, p_ref, g_ref, li_ref, nhi_i_ref, nlo_i_ref,
     d2 = _tile_d2(spec, li_ref[:], rj_ref[:], nhi_i_ref[:], nlo_i_ref[:],
                   nhi_j_ref[:], nlo_j_ref[:])
     kp = _tile_drho_dd2(spec, d2)  # [bi, bj]
-    # m_ij = p_i g_j rho'_ij  (B = 1)
-    m = (p_ref[0, :][:, None] * g_ref[0, :][None, :]) * kp
+    # m_ij = (sum_b p_bi g_bj) rho'_ij — the rank-B outer product runs as one
+    # [bi, B] @ [B, bj] MXU matmul, so multi-RHS (multi-output) gradients cost
+    # one kernel pass instead of B
+    m = jnp.dot(p_ref[:].T, g_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) * kp
     xi = xi_ref[:]  # f32 scaled coords suffice for gradient accuracy
     xj = xj_ref[:]
     # sum_ij m_ij (xs_id - xs_jd)^2
@@ -319,6 +322,7 @@ def _ls_grad_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, var,
     bi, bj = spec.block_i, spec.block_j
     P = rows.left.shape[1]
     D = rows.xhi.shape[1]
+    B = p.shape[0]
     pf = _pad_cols(p.astype(jnp.float32), ni_pad)
     gf = _pad_cols(g.astype(jnp.float32), nj_pad)
 
@@ -327,8 +331,8 @@ def _ls_grad_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, var,
         out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
         grid=(nj_pad // bj, ni_pad // bi),
         in_specs=[
-            pl.BlockSpec((1, bi), lambda j, i: (i * 0, i)),   # p tile
-            pl.BlockSpec((1, bj), lambda j, i: (j * 0, j)),   # g tile
+            pl.BlockSpec((B, bi), lambda j, i: (i * 0, i)),   # p tile
+            pl.BlockSpec((B, bj), lambda j, i: (j * 0, j)),   # g tile
             pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # left_i
             pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),
             pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),
@@ -375,14 +379,9 @@ def _streaming_bwd(spec, n_out, res, gout):
     dp = var * _matvec_from_prep(spec, cols, rows, gout)[:, :n_in].astype(
         p.dtype
     )
-    if p.shape[0] == 1:
-        dls = _ls_grad_from_prep(spec, rows, cols, var, ls, p, gout)
-    else:
-        dls = sum(
-            _ls_grad_from_prep(spec, rows, cols, var, ls, p[b : b + 1],
-                               gout[b : b + 1])
-            for b in range(p.shape[0])
-        )
+    # the ls-grad kernel reduces the rank-B outer product internally (one
+    # [bi, B] @ [B, bj] MXU matmul per tile) — one pass for any batch size
+    dls = _ls_grad_from_prep(spec, rows, cols, var, ls, p, gout)
     return drows, dcols, dvar, dls, dp
 
 
