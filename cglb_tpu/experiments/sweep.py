@@ -41,19 +41,29 @@ __all__ = ["expand_grid", "run_sweep", "main"]
 
 
 def expand_grid(spec: Dict) -> List[Dict]:
-    """Cross product of [sweep.grid] lists merged over [sweep] constants."""
-    sweep = dict(spec.get("sweep", spec))
-    grid = sweep.pop("grid", {})
-    keys = list(grid.keys())
+    """Cross product of [sweep.grid] lists merged over [sweep] constants.
+
+    A file may hold ONE ``[sweep]`` table or SEVERAL ``[[sweep]]`` blocks
+    (the reference's xpert format uses multiple ``[[exp]]`` blocks for
+    experiment families with different axes, e.g. the cglb-with-voption vs
+    cglbn2m ablations at xpert-ablations.toml:17-63); each block expands
+    independently and the points concatenate."""
+    sweeps = spec.get("sweep", spec)
+    if isinstance(sweeps, dict):
+        sweeps = [sweeps]
     points = []
-    for combo in itertools.product(*(grid[k] for k in keys)):
-        point = dict(sweep)
-        point.update(dict(zip(keys, combo)))
-        uid_parts = []
-        for k, v in zip(keys, combo):
-            uid_parts.append(f"{k}={v}" if k != "seed" else str(v))
-        point.setdefault("uid", "/".join(uid_parts))
-        points.append(point)
+    for block in sweeps:
+        sweep = dict(block)
+        grid = sweep.pop("grid", {})
+        keys = list(grid.keys())
+        for combo in itertools.product(*(grid[k] for k in keys)):
+            point = dict(sweep)
+            point.update(dict(zip(keys, combo)))
+            uid_parts = []
+            for k, v in zip(keys, combo):
+                uid_parts.append(f"{k}={v}" if k != "seed" else str(v))
+            point.setdefault("uid", "/".join(uid_parts))
+            points.append(point)
     return points
 
 
