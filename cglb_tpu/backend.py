@@ -50,13 +50,21 @@ class Model:
     STREAMING_THRESHOLD = 8192
 
     def __init__(self, kind: str, params, data, run_cfg: Optional[_RunCfg] = None,
-                 matvec: str = "auto"):
+                 matvec: str = "auto", mesh=None):
         self.kind = kind
         self.params = params
         X, Y = data
         self.data = (jnp.asarray(X), jnp.asarray(Y))
         self.run_cfg = run_cfg
         self.matvec_mode = matvec
+        # multi-chip: a 1-D data mesh — CGLB losses run column-sharded with
+        # XLA collectives over ICI (parallel/sharded.py); every optimizer
+        # works unchanged because only loss_fn's internals change
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.sharded import shard_data
+
+            self.data = shard_data(mesh, *self.data)
         if kind in _CGLB_KINDS:
             self.v0 = _cglb.init_v0(
                 self.data[0].shape[0], self.data[1].shape[1],
@@ -105,21 +113,39 @@ class Model:
                 return -_sgpr.elbo_n2m(params, X, Y), state
         elif kind in _CGLB_KINDS:
             cfg = self.run_cfg
-            make_op = self._matvec_factory()
             joint = cfg.joint_optimization and not cfg.vzero
-            def fn(params, carry, X, Y):
-                # carry is either the raw v0 array or last feval's CGLBAux
-                v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
-                if joint and params.v0 is not None:
-                    # trainable v: read from the params pytree so gradients
-                    # flow into it through the bound assembly
-                    v0 = params.v0.value
-                matvec = None
-                if make_op is not None:
-                    matvec = make_op(params.kernel, X,
-                                     params.noise_variance.value)
-                l, aux = _cglb.loss(params, X, Y, v0, cfg, matvec=matvec)
-                return l, aux
+            if self.mesh is not None:
+                from .parallel.sharded import sharded_cglb_loss
+
+                mesh = self.mesh
+                mode = self.matvec_mode
+                if mode == "auto":
+                    n = self.data[0].shape[0]
+                    mode = ("streaming" if n >= self.STREAMING_THRESHOLD
+                            else "dense")
+
+                def fn(params, carry, X, Y):
+                    v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
+                    if joint and params.v0 is not None:
+                        v0 = params.v0.value
+                    return sharded_cglb_loss(params, X, Y, v0, cfg, mesh,
+                                             matvec=mode)
+            else:
+                make_op = self._matvec_factory()
+
+                def fn(params, carry, X, Y):
+                    # carry is either the raw v0 array or last feval's CGLBAux
+                    v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
+                    if joint and params.v0 is not None:
+                        # trainable v: read from the params pytree so gradients
+                        # flow into it through the bound assembly
+                        v0 = params.v0.value
+                    matvec = None
+                    if make_op is not None:
+                        matvec = make_op(params.kernel, X,
+                                         params.noise_variance.value)
+                    l, aux = _cglb.loss(params, X, Y, v0, cfg, matvec=matvec)
+                    return l, aux
         else:
             raise NotImplementedError(kind)
         return fn
@@ -278,6 +304,7 @@ class Jax:
 
     name = "jax"
     matvec_mode = "auto"  # "auto" | "dense" | "streaming" (CLI --matvec)
+    mesh_size = 0  # 0/1 = single device; >1 or -1 ("all") = 1-D data mesh
     # "mixed" (default: df32 kernel profile + fp64 solves, fp64-grade; see
     # models/sgpr._kuf_block_df32) | "float64" (all-fp64, CLI --common-dtype)
     common_dtype = "mixed"
@@ -288,6 +315,28 @@ class Jax:
             cls.matvec_mode = kwargs["matvec"]
         if "common_dtype" in kwargs and kwargs["common_dtype"]:
             cls.common_dtype = kwargs["common_dtype"]
+        if "mesh" in kwargs and kwargs["mesh"] is not None:
+            cls.mesh_size = int(kwargs["mesh"])
+
+    @classmethod
+    def _make_mesh(cls):
+        """1-D data mesh from the configured size (None = single device).
+
+        -1 means all visible devices; sizes beyond the device count raise
+        (jax would otherwise silently truncate)."""
+        size = cls.mesh_size
+        if not size or size == 1:
+            return None
+        from .parallel.mesh import data_mesh
+
+        avail = len(jax.devices())
+        if size == -1:
+            size = avail
+        if size > avail:
+            raise ValueError(
+                f"--mesh {size} requested but only {avail} devices visible"
+            )
+        return data_mesh(size)
 
     @classmethod
     def set_default_float(cls, float_type: str):
@@ -334,7 +383,8 @@ class Jax:
                 "exactgp" if isinstance(model_cfg, _cfgs.ExactGPConfig)
                 else "gpr"
             )
-            return Model(kind, params, (X, Y), matvec=cls.matvec_mode)
+            return Model(kind, params, (X, Y), matvec=cls.matvec_mode,
+                         mesh=cls._make_mesh())
 
         Z = p["inducing_variable"](kernel, seed=seed)
         params = _sgpr.SGPRParams.create(
@@ -342,7 +392,8 @@ class Jax:
             output_dim=Y.shape[1], dtype=dtype,
         )
         if isinstance(model_cfg, _cfgs.SGPRN2MConfig):
-            return Model("sgprn2m", params, (X, Y), matvec=cls.matvec_mode)
+            return Model("sgprn2m", params, (X, Y), matvec=cls.matvec_mode,
+                         mesh=cls._make_mesh())
         if isinstance(model_cfg, _cfgs.CGLBConfig):
             kind = {
                 _cfgs.CGLBN2MConfig: "cglbn2m",
@@ -355,8 +406,10 @@ class Jax:
                 logdet_variant=_CGLB_KINDS[kind],
                 common_dtype=cls.common_dtype,
             )
-            return Model(kind, params, (X, Y), run_cfg, matvec=cls.matvec_mode)
-        return Model("sgpr", params, (X, Y), matvec=cls.matvec_mode)
+            return Model(kind, params, (X, Y), run_cfg,
+                         matvec=cls.matvec_mode, mesh=cls._make_mesh())
+        return Model("sgpr", params, (X, Y), matvec=cls.matvec_mode,
+                     mesh=cls._make_mesh())
 
     # -- persistence --
 

@@ -113,6 +113,20 @@ if os.environ.get("JAX_ENABLE_X64", "").lower() not in ("0", "false"):
     enable_x64()
 
 
+# Honor JAX_PLATFORMS explicitly: in environments where a TPU PJRT plugin
+# registers itself, the env var alone can lose to the plugin at backend init —
+# the config update is authoritative as long as no backend has been touched
+# yet (same technique as tests/conftest.py; lets CLI entry points run forced
+# CPU meshes, e.g. `JAX_PLATFORMS=cpu ... --mesh 8` with
+# --xla_force_host_platform_device_count).
+_platforms_env = os.environ.get("JAX_PLATFORMS", "")
+if _platforms_env:
+    try:
+        jax.config.update("jax_platforms", _platforms_env)
+    except Exception:  # backend already initialized by the embedding process
+        pass
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Persistent XLA compilation cache.  fp64-heavy CGLB graphs can take
     minutes to compile on TPU toolchains (fp64 emulation multiplies the HLO);

@@ -208,14 +208,18 @@ def _attach_leaves(group: click.Group) -> None:
               help="mixed (default) = df32 kernel profile + fp64 solves, "
                    "fp64-grade accuracy without emulated-fp64 transcendentals;"
                    " float64 = all-fp64 (see PERF.md)")
+@click.option("--mesh", type=int, default=0,
+              help="multi-chip: shard CGLB training over a 1-D data mesh of "
+                   "this many devices (-1 = all visible); 0/1 = single device")
 @click.pass_context
-def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype):
+def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype,
+         mesh):
     logdir_path = Path(logdir).expanduser().resolve()
     logdir_path.mkdir(exist_ok=True, parents=True)
     if keops is not None:
         matvec = "streaming" if keops else "dense"
     backend.configure_backend(logdir=str(logdir_path), matvec=matvec,
-                              common_dtype=common_dtype)
+                              common_dtype=common_dtype, mesh=mesh)
     backend.set_default_float(float_type)
     backend.set_default_jitter(float_type)
     backend.set_seed(seed)

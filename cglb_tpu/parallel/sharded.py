@@ -43,10 +43,15 @@ def _cshard(mesh, x, spec):
 
 
 def shard_data(mesh: Mesh, X, Y):
-    """Place data row-sharded on the mesh (pads are caller's responsibility —
-    N should be divisible by the mesh size for clean layouts)."""
-    xs = jax.device_put(X, NamedSharding(mesh, P(DATA_AXIS, None)))
-    ys = jax.device_put(Y, NamedSharding(mesh, P(DATA_AXIS, None)))
+    """Place data on the mesh: row-sharded when N divides the mesh size,
+    replicated otherwise (device_put with an explicit sharding is strict
+    about divisibility, but the with_sharding_constraint annotations inside
+    the losses tolerate uneven shapes — GSPMD pads internally — so compute
+    still distributes; only the initial placement differs)."""
+    n_dev = mesh.shape[DATA_AXIS]
+    spec = P(DATA_AXIS, None) if X.shape[0] % n_dev == 0 else P()
+    xs = jax.device_put(X, NamedSharding(mesh, spec))
+    ys = jax.device_put(Y, NamedSharding(mesh, spec))
     return xs, ys
 
 

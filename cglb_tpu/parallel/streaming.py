@@ -37,8 +37,10 @@ def make_sharded_streaming_operator(mesh: Mesh, kernel, X, sigma_sq,
                                     interpret: bool = None) -> Callable:
     """Matvec closure p [B, N] -> p (K + s2 I) [B, N], column-sharded.
 
-    The padded N must be divisible by mesh_size * block_j (pad the data rows
-    upstream if needed).
+    Arbitrary N: the packed tensors are zero-padded up to a multiple of
+    mesh_size * block (padded rows are harmless — p is zero there and the
+    padded output columns are sliced off, exactly as in the single-device
+    kernel).
     """
     if interpret is None:
         # decide per-MESH, not per-process: the process's default device may be
@@ -46,6 +48,9 @@ def make_sharded_streaming_operator(mesh: Mesh, kernel, X, sigma_sq,
         platform = mesh.devices.flat[0].platform
         interpret = platform not in ("tpu", "axon")
     _mv._check_blocks(block_i, block_j, interpret)
+    if block_i != block_j:
+        raise ValueError("sharded streaming operator requires block_i == "
+                         f"block_j (got {block_i}, {block_j})")
     n_dev = mesh.shape[DATA_AXIS]
     n = X.shape[0]
     var = kernel.variance.value
@@ -55,11 +60,11 @@ def make_sharded_streaming_operator(mesh: Mesh, kernel, X, sigma_sq,
     prep, n_packs = _mv._prepare(block_i, block_j, X, ls)
     spec = spec._replace(n_packs=n_packs)
     n_pad = prep.left.shape[0]
-    if n_pad % (n_dev * block_j) != 0:
-        raise ValueError(
-            f"padded N ({n_pad}) must divide mesh_size*block_j "
-            f"({n_dev}*{block_j}); pad the dataset rows upstream"
-        )
+    stride = n_dev * block_j
+    if n_pad % stride != 0:
+        target = -(-n_pad // stride) * stride
+        prep = _mv._Prepared(*(_mv._pad_rows(a, target) for a in prep))
+        n_pad = target
     cols_per_dev = n_pad // n_dev
 
     @functools.partial(

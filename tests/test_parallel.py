@@ -151,3 +151,75 @@ def test_sharded_streaming_train_step(mesh8, rng):
     p2, _, aux, loss = step(params, opt.init(params), v0, Xs, Ys)
     assert np.isfinite(float(loss))
     assert np.isfinite(float(p2.noise_variance.raw))
+
+
+def test_backend_mesh_training_matches_single_device(tmp_path):
+    """The full user-facing stack (--mesh): Model with a data mesh trains
+    through the standard optimizers with the sharded CGLB loss, matching the
+    single-device model's objective at the same parameters."""
+    import numpy as np
+
+    from cglb_tpu.backend import Jax
+    from cglb_tpu.configs import CGLBConfig, InducingVariableConfig, \
+        Matern32Config
+    from cglb_tpu.experiments.datasets import get_dataset
+
+    bundle = get_dataset("synth_300x2")
+    cfg = CGLBConfig(Matern32Config(), InducingVariableConfig(12))
+
+    def build(mesh):
+        Jax.configure_backend(mesh=mesh)
+        try:
+            return Jax.create_model(cfg, bundle.train, seed=0)
+        finally:
+            Jax.configure_backend(mesh=0)
+
+    m1 = build(0)
+    m8 = build(8)
+    assert m8.mesh is not None and m8.mesh.devices.size == 8
+
+    # identical objective at identical params (dense-sharded at this N)
+    l1 = m1.loss_value()
+    l8 = m8.loss_value()
+    np.testing.assert_allclose(l8, l1, rtol=1e-8)
+
+    # trains end-to-end through the scipy driver
+    Jax.optimize(m8, (bundle.train, bundle.test), num_steps=4,
+                 optimizer="scipy")
+    Jax.optimize(m1, (bundle.train, bundle.test), num_steps=4,
+                 optimizer="scipy")
+    assert m8.loss_value() < l8  # made progress
+    np.testing.assert_allclose(m8.loss_value(), m1.loss_value(), rtol=1e-5)
+
+
+def test_backend_mesh_streaming_training(tmp_path):
+    """--mesh with the streaming (Pallas shard_map) matvec: loss matches the
+    single-device dense value and one optimizer step runs."""
+    import numpy as np
+
+    from cglb_tpu.backend import Jax
+    from cglb_tpu.configs import CGLBConfig, InducingVariableConfig, \
+        Matern32Config
+    from cglb_tpu.experiments.datasets import get_dataset
+
+    bundle = get_dataset("synth_300x2")
+    cfg = CGLBConfig(Matern32Config(), InducingVariableConfig(10))
+    Jax.configure_backend(mesh=8, matvec="streaming")
+    try:
+        m = Jax.create_model(cfg, bundle.train, seed=0)
+    finally:
+        Jax.configure_backend(mesh=0, matvec="auto")
+    l_sharded = m.loss_value()
+
+    Jax.configure_backend(mesh=0, matvec="dense")
+    try:
+        m1 = Jax.create_model(cfg, bundle.train, seed=0)
+    finally:
+        Jax.configure_backend(matvec="auto")
+    # the streaming kernel carries ~1e-6 per-entry error; CG at max_error=1.0
+    # stops discretely, so compare at matching warm starts only loosely
+    np.testing.assert_allclose(l_sharded, m1.loss_value(), rtol=1e-3)
+
+    Jax.optimize(m, (bundle.train, bundle.test), num_steps=2,
+                 optimizer="adam_0.01")
+    assert np.isfinite(m.loss_value())
