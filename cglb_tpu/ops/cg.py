@@ -75,12 +75,25 @@ def preconditioned_cg(
     def total_err(rz):
         return 0.5 * jnp.sum(rz)
 
+    # Sanitize the warm start: a non-finite v0 (e.g. from a diverged feval at
+    # an extreme L-BFGS line-search probe) would otherwise poison every later
+    # evaluation — NaN < max_error is False, so CG "converges" in 0 steps and
+    # returns the NaN v forever, making the whole optimization unrecoverable
+    # even after the optimizer backtracks to sane parameters (observed on a
+    # kin40k-scale run).
+    v0 = jnp.where(jnp.isfinite(v0), v0, jnp.zeros_like(v0))
     r0 = b - matvec(v0)
     z0, rz0 = _pc.mat_vec(precond, r0)
     state0 = _CGState(i=jnp.asarray(0, jnp.int32), v=v0, r=r0, p=z0, rz=rz0)
 
     def cond_fn(s: _CGState):
-        return jnp.logical_and(total_err(s.rz) > max_error, s.i < max_iters)
+        # stop on divergence/NaN as well as convergence: once the state goes
+        # non-finite, further iterations only burn matvecs
+        healthy = jnp.isfinite(total_err(s.rz))
+        return jnp.logical_and(
+            jnp.logical_and(total_err(s.rz) > max_error, s.i < max_iters),
+            healthy,
+        )
 
     def body_fn(s: _CGState):
         Ap = matvec(s.p)

@@ -156,3 +156,21 @@ def test_precond_quadratic_form_nonnegative_under_cancellation(rng):
         assert float(rz[0]) >= 0.0, dt
         rtol = 1e-8 if dt == np.float64 else 2e-5
         np.testing.assert_allclose(float(rz[0]), want, rtol=rtol)
+
+
+def test_cg_recovers_from_poisoned_warm_start(rng):
+    """Regression: a non-finite warm start (from a diverged feval at an
+    extreme line-search probe) must not poison subsequent solves — NaN rz
+    made the stopping test 'converge' in 0 steps and return the NaN v
+    forever, killing a kin40k run beyond recovery."""
+    K, b, precond, _ = _spd_system(rng)
+    bad_v0 = jnp.full_like(jnp.asarray(b), jnp.nan)
+    matvec = lambda p: p @ jnp.asarray(K)
+    v, stats = cgm.preconditioned_cg(
+        matvec, jnp.asarray(b), bad_v0, precond, max_error=1e-10,
+        max_iters=200,
+    )
+    assert np.all(np.isfinite(np.asarray(v)))
+    want = np.linalg.solve(K, b[0])
+    np.testing.assert_allclose(np.asarray(v)[0], want, rtol=1e-5, atol=1e-7)
+    assert int(stats.steps) > 0
