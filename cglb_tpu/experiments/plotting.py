@@ -206,8 +206,12 @@ class Plotter:
             labels.append(label + suffix)
         if boxplot_inset and dists:
             inset = ax.inset_axes([0.62, 0.58, 0.34, 0.36])
-            bps = inset.boxplot(dists, vert=False, sym="", whis=(5, 95),
-                                tick_labels=labels)
+            try:
+                bps = inset.boxplot(dists, vert=False, sym="", whis=(5, 95),
+                                    tick_labels=labels)
+            except TypeError:  # matplotlib < 3.9 named the kwarg `labels`
+                bps = inset.boxplot(dists, vert=False, sym="", whis=(5, 95),
+                                    labels=labels)
             for i, median in enumerate(bps["medians"]):
                 median.set(color=colors[i], linewidth=2.0)
             for i, box in enumerate(bps["boxes"]):

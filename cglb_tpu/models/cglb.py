@@ -135,11 +135,24 @@ def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig):
     r^T P^-1 r go (hugely) negative at trained hyperparameters, silently
     short-circuiting CG's stopping rule — caught driving the CLI end-to-end.
     One extra [M, N]x[N, M] matmul + [M, M] cholesky per objective, outside
-    the CG loop."""
+    the CG loop.  When ct's factors are already in the target dtype (the
+    fp64 common-terms path with precond_dtype='float64') ct.LB IS the
+    self-consistent factor and is reused directly."""
+    import jax
+
     pd = jnp.dtype(cfg.precond_dtype)
+    if ct.A.dtype == pd and ct.LB.dtype == pd:
+        return _pc.NystromPreconditioner(A=ct.A, LB=ct.LB, sigma_sq=sigma_sq)
     A = ct.A.astype(pd)
     M = A.shape[0]
-    LB = jnp.linalg.cholesky(A @ A.T + jnp.eye(M, dtype=pd))
+    # precision=HIGHEST: at Precision.DEFAULT an f32 matmul lowers to bf16
+    # MXU passes on TPU (~4e-3 relative), which would reintroduce the LB/A
+    # mismatch this function exists to eliminate — with ||AAT|| ~ 1/sigma^2
+    # the bf16 error exceeds the +I shift at small noise and the cholesky /
+    # Woodbury identity breaks down (CPU tests run at HIGHEST by default and
+    # cannot catch this).
+    AAT = jnp.dot(A, A.T, precision=jax.lax.Precision.HIGHEST)
+    LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=pd))
     return _pc.NystromPreconditioner(A=A, LB=LB, sigma_sq=sigma_sq)
 
 
@@ -180,9 +193,10 @@ def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
 
 # above this many Kuf elements the common terms are rematerialized in the
 # backward pass: stored residuals run ~30-40 bytes/element (fp64 Kuf + d2 +
-# f32 A + df32 intermediates), so 200M elements ~ 7 GB — near a v5e chip's
-# budget once CG state and the packed matvec tensors are resident too
-REMAT_THRESHOLD_ELEMENTS = 200 * 1024 * 1024
+# f32 A + df32 intermediates), so 128M elements ~ 4-5 GB — comfortably
+# inside a 16 GB chip even with CG state, packed matvec tensors, and
+# multi-output RHS resident (a 200M threshold left no headroom)
+REMAT_THRESHOLD_ELEMENTS = 128 * 1024 * 1024
 
 
 def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),

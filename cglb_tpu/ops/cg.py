@@ -84,6 +84,17 @@ def preconditioned_cg(
     v0 = jnp.where(jnp.isfinite(v0), v0, jnp.zeros_like(v0))
     r0 = b - matvec(v0)
     z0, rz0 = _pc.mat_vec(precond, r0)
+    # Never start WORSE than cold: a finite-but-garbage warm start (carried
+    # from a diverged evaluation) can sit so far from the solution that
+    # max_iters cannot pull it back, making the loss at GOOD parameters look
+    # terrible and misleading the line search.  Cold start costs no extra
+    # matvec (K @ 0 = 0), only one preconditioner apply on b.
+    zb, rzb = _pc.mat_vec(precond, b)
+    use_cold = total_err(rzb) < total_err(rz0)
+    v0 = jnp.where(use_cold, jnp.zeros_like(v0), v0)
+    r0 = jnp.where(use_cold, b, r0)
+    z0 = jnp.where(use_cold, zb, z0)
+    rz0 = jnp.where(use_cold, rzb, rz0)
     state0 = _CGState(i=jnp.asarray(0, jnp.int32), v=v0, r=r0, p=z0, rz=rz0)
 
     def cond_fn(s: _CGState):

@@ -75,9 +75,10 @@ def inv_mat_vec(precond: NystromPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     """(Qff + sigma^2 I) r for row-vectors r [B, N] (the inverse operator of
     mat_vec; reference: preconditioners.py:79-84)."""
     A, sigma_sq = precond.A, precond.sigma_sq
+    hi = jax.lax.Precision.HIGHEST
     rt = r.T * sigma_sq
-    Ar = A @ rt
-    return (A.T @ Ar + rt).T
+    Ar = jnp.dot(A, rt, precision=hi)
+    return (jnp.dot(A.T, Ar, precision=hi) + rt).T
 
 
 def sqrt_factor_mat_vec(precond: NystromPreconditioner, w: jnp.ndarray

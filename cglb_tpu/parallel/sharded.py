@@ -70,18 +70,39 @@ def make_sharded_operator(mesh: Mesh, kernel, X, sigma_sq):
 
 
 def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
-                          jitter: float) -> _sgpr.CommonTerms:
-    """Common terms with Kuf/A column-sharded; M x M results replicated."""
+                          jitter: float, mixed: bool = False,
+                          a_dtype=jnp.float32) -> _sgpr.CommonTerms:
+    """Common terms with Kuf/A column-sharded; M x M results replicated.
+
+    mixed=True mirrors the single-device default (models/sgpr): kernel
+    profiles evaluated in df32 and the O(N M^2) contraction restructured as
+    the Gram matrix G = Kuf Kuf^T (per-shard partials, psum over ICI) with
+    AAT = L^-1 G L^-T — the emulated-fp64 [M, N] trisolve never runs; A is
+    materialized in a_dtype for the preconditioner only."""
     Z = params.inducing_Z.value
     M = Z.shape[0]
     kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
     L = jnp.linalg.cholesky(kuu)
-    kuf = _k.K(params.kernel, Z, X)  # [M, N]
+    if mixed:
+        kuf = _sgpr._kuf_block_df32(params, Z, X)  # [M, N]
+    else:
+        kuf = _k.K(params.kernel, Z, X)
     kuf = _cshard(mesh, kuf, P(None, DATA_AXIS))
     sigma = jnp.sqrt(params.noise_variance.value)
-    A = jax.scipy.linalg.solve_triangular(L, kuf, lower=True) / sigma
+    if mixed:
+        G = _cshard(mesh, kuf @ kuf.T, P())  # per-shard partials + psum
+        T1 = jax.scipy.linalg.solve_triangular(L, G, lower=True)
+        AAT = jax.scipy.linalg.solve_triangular(L, T1.T, lower=True) / (
+            sigma * sigma
+        )
+        AAT = 0.5 * (AAT + AAT.T)
+        A = jax.scipy.linalg.solve_triangular(
+            L.astype(a_dtype), kuf.astype(a_dtype), lower=True
+        ) / sigma.astype(a_dtype)
+    else:
+        A = jax.scipy.linalg.solve_triangular(L, kuf, lower=True) / sigma
+        AAT = _cshard(mesh, A @ A.T, P())  # psum over shards
     A = _cshard(mesh, A, P(None, DATA_AXIS))
-    AAT = _cshard(mesh, A @ A.T, P())  # psum over shards
     B = AAT + jnp.eye(M, dtype=Z.dtype)
     LB = jnp.linalg.cholesky(B)
     return _sgpr.CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
@@ -92,8 +113,9 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
                       block: int = 512) -> Tuple[jnp.ndarray, CGLBAux]:
     """CGLB loss with all N-sized tensors sharded over the mesh's data axis.
 
-    Numerically identical to models.cglb.loss (same math, same CG); only the
-    layout differs.  Call under jit with the mesh's devices visible.
+    Same math and CG as models.cglb.loss, honoring cfg.common_dtype the same
+    way (the default "mixed" runs df32 profiles + gram-form contractions);
+    only the layout differs.  Call under jit with the mesh's devices visible.
 
     matvec: "dense" materializes K column-sharded ([N, N/devices] per chip —
     caps N at ~200k/chip); "streaming" runs the Pallas tile kernel per column
@@ -105,7 +127,9 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
 
     jitter = jitter if jitter is not None else _config.default_jitter()
     N, D = Y.shape
-    ct = _sharded_common_terms(mesh, params, X, jitter)
+    mixed = cfg.common_dtype == "mixed" and cfg.logdet_variant != "n2m"
+    ct = _sharded_common_terms(mesh, params, X, jitter, mixed=mixed,
+                               a_dtype=jnp.dtype(cfg.precond_dtype))
     sigma_sq = params.noise_variance.value
 
     import math

@@ -94,7 +94,12 @@ def scipy_minimize(
 
     attempts: scipy sometimes stops before the step budget; minimize is
     re-invoked with the remaining budget (reference TF backend uses 2
-    attempts: tensorflow/interface.py:327-337).
+    attempts: tensorflow/interface.py:327-337).  Each attempt deliberately
+    gets maxiter=remaining (NOT an even split): the restarts are a
+    workaround for scipy L-BFGS-B's early-stop bug and only engage when an
+    attempt terminates before its budget — identical to the reference's
+    schedule (pytorch/interface.py:507-543), where a first attempt that
+    runs the full budget simply ends the optimization.
     freeze_inducing_after: attempt index at which inducing points become
     non-trainable (the torch backend's 4-attempt schedule freezes them after
     the 2nd: pytorch/interface.py:507-543).
