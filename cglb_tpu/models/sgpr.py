@@ -189,12 +189,17 @@ def _kuf_block_df32(params: SGPRParams, Z, Xc):
 
     ls = params.kernel.lengthscales.value
     var = params.kernel.variance.value
-    d2 = _k.scaled_sq_dist(Z, Xc, ls)
+    # distance parts in fp64 (the [M, N]-sized cross is one small-D matmul;
+    # the norms are O(M + N)); the d2 assembly/clamp/profile run fused in
+    # df32 — only two emulated-fp64 elementwise passes touch the block
+    Zs = Z / ls
+    Xs = Xc / ls
+    cross = Zs @ Xs.T
+    zn = jnp.sum(Zs * Zs, axis=-1)
+    xn = jnp.sum(Xs * Xs, axis=-1)
     if isinstance(params.kernel, _k.SquaredExponential):
-        rho = _df.rbf_unit(d2)
-    else:
-        rho = _df.matern32_unit(d2)
-    return var * rho
+        return _df.rbf_from_parts(cross, zn, xn, var)
+    return _df.matern32_from_parts(cross, zn, xn, var)
 
 
 def _gram_terms(params: SGPRParams, L, X, sigma, chunk_size: int = None,

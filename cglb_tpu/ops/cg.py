@@ -97,13 +97,20 @@ def preconditioned_cg(
     rz0 = jnp.where(use_cold, rzb, rz0)
     state0 = _CGState(i=jnp.asarray(0, jnp.int32), v=v0, r=r0, p=z0, rz=rz0)
 
+    # divergence cutoff: preconditioned CG on an effectively indefinite
+    # system (f32 preconditioner/operator noise exceeding sigma^2 at extreme
+    # line-search probes) grows the residual geometrically — measured 0.65 ->
+    # 1e24 within one 100-iteration solve.  1e6x the starting error is far
+    # beyond any transient non-monotonicity of healthy preconditioned CG
+    # (restarts bound that at ~10x); beyond it, iterating only burns matvecs
+    # on a solve whose huge error bound already dooms the step.
+    err_cap = 1e6 * (total_err(rz0) + 1.0)
+
     def cond_fn(s: _CGState):
-        # stop on divergence/NaN as well as convergence: once the state goes
-        # non-finite, further iterations only burn matvecs
-        healthy = jnp.isfinite(total_err(s.rz))
+        err = total_err(s.rz)
+        healthy = jnp.logical_and(jnp.isfinite(err), err < err_cap)
         return jnp.logical_and(
-            jnp.logical_and(total_err(s.rz) > max_error, s.i < max_iters),
-            healthy,
+            jnp.logical_and(err > max_error, s.i < max_iters), healthy
         )
 
     def body_fn(s: _CGState):
