@@ -50,13 +50,19 @@ class Model:
     STREAMING_THRESHOLD = 8192
 
     def __init__(self, kind: str, params, data, run_cfg: Optional[_RunCfg] = None,
-                 matvec: str = "auto", mesh=None):
+                 matvec: str = "auto", mesh=None, common_dtype: str = None):
         self.kind = kind
         self.params = params
         X, Y = data
         self.data = (jnp.asarray(X), jnp.asarray(Y))
         self.run_cfg = run_cfg
         self.matvec_mode = matvec
+        # metric evaluations reuse the training precision policy: "mixed"
+        # selects the df32/gram fast paths for elbo/upper at scale
+        if common_dtype is None:
+            common_dtype = (run_cfg.common_dtype if run_cfg is not None
+                            else "mixed")
+        self.common_dtype = common_dtype
         # multi-chip: a 1-D data mesh — CGLB losses run column-sharded with
         # XLA collectives over ICI (parallel/sharded.py); every optimizer
         # works unchanged because only loss_fn's internals change
@@ -106,8 +112,10 @@ class Model:
                 loss, _ = _itgp.iterative_loss(params, X, Y, sub, itcfg)
                 return loss, key
         elif kind == "sgpr":
+            mixed = self.common_dtype == "mixed"
+
             def fn(params, state, X, Y):
-                return -_sgpr.elbo(params, X, Y), state
+                return -_sgpr.elbo(params, X, Y, mixed=mixed), state
         elif kind == "sgprn2m":
             def fn(params, state, X, Y):
                 return -_sgpr.elbo_n2m(params, X, Y), state
@@ -209,11 +217,16 @@ class Model:
         return float(loss)
 
     def elbo(self) -> float:
-        fn = self._jit("elbo", lambda p, X, Y: _sgpr.elbo(p, X, Y))
+        mixed = self.common_dtype == "mixed"
+        fn = self._jit("elbo",
+                       lambda p, X, Y: _sgpr.elbo(p, X, Y, mixed=mixed))
         return float(fn(self.params, *self.data))
 
     def upper_bound(self) -> float:
-        fn = self._jit("upper", lambda p, X, Y: _sgpr.upper_bound(p, X, Y))
+        mixed = self.common_dtype == "mixed"
+        fn = self._jit(
+            "upper", lambda p, X, Y: _sgpr.upper_bound(p, X, Y, mixed=mixed)
+        )
         return float(fn(self.params, *self.data))
 
     def lml(self) -> float:
@@ -384,7 +397,7 @@ class Jax:
                 else "gpr"
             )
             return Model(kind, params, (X, Y), matvec=cls.matvec_mode,
-                         mesh=cls._make_mesh())
+                         mesh=cls._make_mesh(), common_dtype=cls.common_dtype)
 
         Z = p["inducing_variable"](kernel, seed=seed)
         params = _sgpr.SGPRParams.create(
@@ -393,7 +406,7 @@ class Jax:
         )
         if isinstance(model_cfg, _cfgs.SGPRN2MConfig):
             return Model("sgprn2m", params, (X, Y), matvec=cls.matvec_mode,
-                         mesh=cls._make_mesh())
+                         mesh=cls._make_mesh(), common_dtype=cls.common_dtype)
         if isinstance(model_cfg, _cfgs.CGLBConfig):
             kind = {
                 _cfgs.CGLBN2MConfig: "cglbn2m",
@@ -407,9 +420,10 @@ class Jax:
                 common_dtype=cls.common_dtype,
             )
             return Model(kind, params, (X, Y), run_cfg,
-                         matvec=cls.matvec_mode, mesh=cls._make_mesh())
+                         matvec=cls.matvec_mode, mesh=cls._make_mesh(),
+                         common_dtype=cls.common_dtype)
         return Model("sgpr", params, (X, Y), matvec=cls.matvec_mode,
-                     mesh=cls._make_mesh())
+                     mesh=cls._make_mesh(), common_dtype=cls.common_dtype)
 
     # -- persistence --
 

@@ -202,8 +202,9 @@ def _kuf_block_df32(params: SGPRParams, Z, Xc):
     return _df.matern32_from_parts(cross, zn, xn, var)
 
 
-def _gram_terms(params: SGPRParams, L, X, sigma, chunk_size: int = None,
-                a_dtype=jnp.float32):
+def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
+                chunk_size: int = None, a_dtype=jnp.float32,
+                with_a: bool = True):
     """Mixed-mode fast path: the O(N M^2) work never runs through TPU's
     emulated-fp64 triangular solve.
 
@@ -236,17 +237,22 @@ def _gram_terms(params: SGPRParams, L, X, sigma, chunk_size: int = None,
         chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
 
     L_cast = L.astype(a_dtype)
-    sigma_cast = sigma.astype(a_dtype)
+    sigma_cast = sigma_scale.astype(a_dtype)
+    d_w = W.shape[1] if W is not None else 1
 
-    def chunk_part(xc, mask):
+    def chunk_part(xc, mask, wc):
         kuf_c = _kuf_block_df32(params, Z, xc) * mask[None, :]
-        a_c = jsl.solve_triangular(
-            L_cast, kuf_c.astype(a_dtype), lower=True
-        ) / sigma_cast
-        return kuf_c @ kuf_c.T, a_c
+        if with_a:
+            a_c = jsl.solve_triangular(
+                L_cast, kuf_c.astype(a_dtype), lower=True
+            ) / sigma_cast
+        else:
+            a_c = jnp.zeros((M, 0), dtype=a_dtype)
+        return kuf_c @ kuf_c.T, kuf_c @ wc, a_c
 
     if chunk_size is None or N <= chunk_size:
-        G, A = chunk_part(X, jnp.ones((N,), dtype=X.dtype))
+        W_full = W if W is not None else jnp.zeros((N, 1), dtype=X.dtype)
+        G, U, A = chunk_part(X, jnp.ones((N,), dtype=X.dtype), W_full)
     else:
         n_chunks = -(-N // chunk_size)
         n_pad = n_chunks * chunk_size
@@ -254,17 +260,31 @@ def _gram_terms(params: SGPRParams, L, X, sigma, chunk_size: int = None,
         Xc = Xp.reshape(n_chunks, chunk_size, X.shape[1])
         col_ids = jnp.arange(n_pad).reshape(n_chunks, chunk_size)
         masks = (col_ids < N).astype(X.dtype)
-        G_parts, A_stack = jax.lax.map(
-            lambda args: chunk_part(*args), (Xc, masks)
+        if W is not None:
+            Wp = jnp.pad(W, ((0, n_pad - N), (0, 0)))
+            Wc = Wp.reshape(n_chunks, chunk_size, d_w)
+        else:
+            Wc = jnp.zeros((n_chunks, chunk_size, 1), dtype=X.dtype)
+        G_parts, U_parts, A_stack = jax.lax.map(
+            lambda args: chunk_part(*args), (Xc, masks, Wc)
         )
         G = jnp.sum(G_parts, axis=0)
-        A = jnp.moveaxis(A_stack, 0, 1).reshape(M, n_pad)[:, :N]
+        U = jnp.sum(U_parts, axis=0)
+        A = jnp.moveaxis(A_stack, 0, 1).reshape(M, -1)[:, :N] if with_a \
+            else None
 
     T1 = jsl.solve_triangular(L, G, lower=True)
-    AAT = jsl.solve_triangular(L, T1.T, lower=True) / (sigma * sigma)
+    AAT = jsl.solve_triangular(L, T1.T, lower=True) / (
+        sigma_scale * sigma_scale
+    )
     # symmetrize: the two solves round differently above/below the diagonal
     AAT = 0.5 * (AAT + AAT.T)
-    return A, AAT
+    AW = None
+    if W is not None:
+        AW = jsl.solve_triangular(L, U, lower=True) / sigma_scale
+    if not with_a:
+        A = None
+    return A, AAT, AW
 
 
 def common_terms(params: SGPRParams, X, jitter: float = None,
@@ -294,8 +314,8 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
     sigma = jnp.sqrt(params.noise_variance.value)
     gram = mixed if gram is None else gram
     if mixed and gram:
-        A, AAT = _gram_terms(params, L, X, sigma, chunk_size=chunk_size,
-                             a_dtype=a_dtype)
+        A, AAT, _ = _gram_terms(params, L, X, sigma, chunk_size=chunk_size,
+                                a_dtype=a_dtype)
     else:
         # fp64 chunked solves/AAT (df32 kernel build when mixed).  Full-f32
         # solves were tried and go unstable when sigma^2 shrinks
@@ -309,8 +329,13 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
     return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
 
 
-def elbo(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
-    """Titsias (2009) collapsed ELBO, the reference's `elbo` metric."""
+def elbo(params: SGPRParams, X, Y, jitter: float = None,
+         mixed: bool = False) -> jnp.ndarray:
+    """Titsias (2009) collapsed ELBO, the reference's `elbo` metric.
+
+    mixed=True uses the df32/gram fast path (fp64-grade, no emulated-fp64
+    [M, N] trisolve — the same trade as the CGLB training default; A itself
+    is never needed here so the f32 solve is skipped entirely)."""
     from .. import config as _config
 
     jitter = jitter if jitter is not None else _config.default_jitter()
@@ -321,7 +346,10 @@ def elbo(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
     sigma = jnp.sqrt(sigma_sq)
     L = _kuu_chol(params, jitter)
     # A, AAT, and A@err in one chunked pass (bounded fp64 temps at scale)
-    _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
+    if mixed:
+        _, AAT, Aerr = _gram_terms(params, L, X, sigma, W=err, with_a=False)
+    else:
+        _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
     LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
     c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
 
@@ -336,7 +364,8 @@ def elbo(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
     return bound
 
 
-def upper_bound(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
+def upper_bound(params: SGPRParams, X, Y, jitter: float = None,
+                mixed: bool = False) -> jnp.ndarray:
     """Titsias trace upper bound on the LML (first-party equivalent of gpflow
     SGPR.upper_bound, consumed by the reference as the `titsias_upper_bound`
     metric at cglb/backend/tensorflow/interface.py:404-405, 424-425)."""
@@ -352,7 +381,10 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None) -> jnp.ndarray:
     L = _kuu_chol(params, jitter)
     err = Y - mean_apply(params.mean, X)
     one = jnp.ones((), dtype=X.dtype)
-    _, AAT0, A0err = _kuf_terms(params, L, X, one, W=err)
+    if mixed:
+        _, AAT0, A0err = _gram_terms(params, L, X, one, W=err, with_a=False)
+    else:
+        _, AAT0, A0err = _kuf_terms(params, L, X, one, W=err)
     LB = jnp.linalg.cholesky(eye_m + AAT0 / sigma_sq)
 
     # Trace slack: c = tr(Kff) - tr(Qff) >= 0 inflates the noise.

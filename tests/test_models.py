@@ -162,3 +162,37 @@ def test_sgprn2m_stable_in_sigma_collapse(rng):
 
     res = tr.lbfgs_minimize(loss_fn, params, None, 30, data=(Xj, Yj))
     assert np.isfinite(res.final_loss)
+
+
+def test_elbo_upper_mixed_match_fp64(rng):
+    """The df32/gram fast path for the metric bracket (elbo/upper_bound)
+    matches the fp64 path to fp64-grade accuracy, chunked and unchunked."""
+    from cglb_tpu.ops import kernels as k
+    from cglb_tpu.models import sgpr
+
+    n, d, m = 700, 4, 48
+    X = rng.normal(size=(n, d))
+    w = rng.normal(size=(d, 1))
+    Y = np.tanh(X @ w) + 0.1 * rng.normal(size=(n, 1))
+    kern = k.make_kernel("Matern32", d, variance=1.4, lengthscales=0.9,
+                         dtype=np.float64)
+    Z = X[rng.choice(n, m, replace=False)]
+    params = sgpr.SGPRParams.create(kern, Z, noise_variance=0.05,
+                                    dtype=np.float64)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    e64 = float(sgpr.elbo(params, Xj, Yj))
+    emx = float(sgpr.elbo(params, Xj, Yj, mixed=True))
+    np.testing.assert_allclose(emx, e64, rtol=1e-9)
+    u64 = float(sgpr.upper_bound(params, Xj, Yj))
+    umx = float(sgpr.upper_bound(params, Xj, Yj, mixed=True))
+    np.testing.assert_allclose(umx, u64, rtol=1e-9)
+
+    # gradients agree (the sgpr kind trains on elbo with mixed by default)
+    g64 = jax.grad(lambda p: sgpr.elbo(p, Xj, Yj))(params)
+    gmx = jax.grad(lambda p: sgpr.elbo(p, Xj, Yj, mixed=True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g64),
+                    jax.tree_util.tree_leaves(gmx)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.max(np.abs(a)), 1e-12)
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-7)
