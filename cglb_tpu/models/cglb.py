@@ -125,7 +125,8 @@ def _logdet_bound(params: SGPRParams, ct: CommonTerms, X, Y,
     raise ValueError(f"unknown logdet variant {variant!r}")
 
 
-def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig):
+def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig,
+                  consistent_ct: bool = False):
     """Nystrom preconditioner in cfg.precond_dtype.
 
     LB is re-derived from the SAME cast A the preconditioner applies, not
@@ -135,13 +136,20 @@ def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig):
     r^T P^-1 r go (hugely) negative at trained hyperparameters, silently
     short-circuiting CG's stopping rule — caught driving the CLI end-to-end.
     One extra [M, N]x[N, M] matmul + [M, M] cholesky per objective, outside
-    the CG loop.  When ct's factors are already in the target dtype (the
-    fp64 common-terms path with precond_dtype='float64') ct.LB IS the
-    self-consistent factor and is reused directly."""
+    the CG loop.
+
+    consistent_ct: the caller vouches that ct.LB was computed as
+    chol(ct.A @ ct.A^T + I) from EXACTLY this A (true for the _kuf_terms
+    fp64 path, false for the gram path whose LB comes from the
+    L^-1 G L^-T sandwich) — only then, and only with matching dtype, is
+    ct.LB reused instead of re-derived.  Dtype equality alone is not
+    enough: a gram-path run with precond_dtype='float64' has fp64 A and
+    fp64 LB that differ at eps64*kappa(L)^2, which the Woodbury identity
+    amplifies by 1/sigma^2 at noise collapse."""
     import jax
 
     pd = jnp.dtype(cfg.precond_dtype)
-    if ct.A.dtype == pd and ct.LB.dtype == pd:
+    if consistent_ct and ct.A.dtype == pd and ct.LB.dtype == pd:
         return _pc.NystromPreconditioner(A=ct.A, LB=ct.LB, sigma_sq=sigma_sq)
     A = ct.A.astype(pd)
     M = A.shape[0]
@@ -157,7 +165,8 @@ def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig):
 
 
 def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
-                     cfg: CGLBConfig, matvec=None, max_error=None
+                     cfg: CGLBConfig, matvec=None, max_error=None,
+                     consistent_ct: bool = False
                      ) -> Tuple[jnp.ndarray, CGLBAux]:
     """-ub on 0.5 err^T (K+s2I)^-1 err, plus the new warm start.
 
@@ -168,7 +177,7 @@ def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
     err_t = err.T  # [D, N]
     if matvec is None:
         matvec = _op.make_dense_operator(params.kernel, X, sigma_sq)
-    P = _make_precond(ct, sigma_sq, cfg)
+    P = _make_precond(ct, sigma_sq, cfg, consistent_ct=consistent_ct)
 
     if cfg.v_is_external:
         v = v0  # gradient may flow (joint optimization) or v0 is fixed zeros
@@ -232,7 +241,8 @@ def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
         ct = common_terms(params, X, jitter, **kw)
     b = -0.5 * N * D * math.log(2.0 * math.pi)
     b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
-    quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec)
+    quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec,
+                                 consistent_ct=not gram)
     b += quad
     return b, aux
 
@@ -271,7 +281,7 @@ def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig()
     if cg_tolerance is None or cfg.v_is_external:
         v = v0
     else:
-        P = _make_precond(ct, sigma_sq, cfg)
+        P = _make_precond(ct, sigma_sq, cfg, consistent_ct=True)
         v, _ = _cg.preconditioned_cg(
             matvec, err.T, v0, P, cg_tolerance, cfg.max_cg_iters,
             cfg.restart_cg_iters

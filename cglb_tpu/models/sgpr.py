@@ -189,17 +189,29 @@ def _kuf_block_df32(params: SGPRParams, Z, Xc):
 
     ls = params.kernel.lengthscales.value
     var = params.kernel.variance.value
-    # distance parts in fp64 (the [M, N]-sized cross is one small-D matmul;
-    # the norms are O(M + N)); the d2 assembly/clamp/profile run fused in
-    # df32 — only two emulated-fp64 elementwise passes touch the block
-    Zs = Z / ls
-    Xs = Xc / ls
-    cross = Zs @ Xs.T
-    zn = jnp.sum(Zs * Zs, axis=-1)
-    xn = jnp.sum(Xs * Xs, axis=-1)
+    # d2 stays EXACT fp64 (norm-expansion cancellation must happen at fp64:
+    # a df32 assembly loses ~3.5 digits on uncentered / small-lengthscale
+    # data where zn + xn >> d2, and XLA fuses these few emulated-fp64
+    # elementwise passes well enough that the df32 variant measured no
+    # faster); only the transcendental profile runs in df32.
+    d2 = _k.scaled_sq_dist(Z, Xc, ls)
     if isinstance(params.kernel, _k.SquaredExponential):
-        return _df.rbf_from_parts(cross, zn, xn, var)
-    return _df.matern32_from_parts(cross, zn, xn, var)
+        rho = _df.rbf_unit(d2)
+    else:
+        rho = _df.matern32_unit(d2)
+    return var * rho
+
+
+def _aat_sandwich(L, G, sigma_scale):
+    """AAT = L^-1 G L^-T / sigma_scale^2 via two [M, M] trisolves,
+    symmetrized (the two solves round differently above/below the
+    diagonal).  Shared by the single-device gram path and the sharded one
+    (parallel/sharded.py) so the numerics cannot drift apart."""
+    T1 = jsl.solve_triangular(L, G, lower=True)
+    AAT = jsl.solve_triangular(L, T1.T, lower=True) / (
+        sigma_scale * sigma_scale
+    )
+    return 0.5 * (AAT + AAT.T)
 
 
 def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
@@ -273,12 +285,7 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
         A = jnp.moveaxis(A_stack, 0, 1).reshape(M, -1)[:, :N] if with_a \
             else None
 
-    T1 = jsl.solve_triangular(L, G, lower=True)
-    AAT = jsl.solve_triangular(L, T1.T, lower=True) / (
-        sigma_scale * sigma_scale
-    )
-    # symmetrize: the two solves round differently above/below the diagonal
-    AAT = 0.5 * (AAT + AAT.T)
+    AAT = _aat_sandwich(L, G, sigma_scale)
     AW = None
     if W is not None:
         AW = jsl.solve_triangular(L, U, lower=True) / sigma_scale

@@ -88,12 +88,17 @@ def preconditioned_cg(
     # from a diverged evaluation) can sit so far from the solution that
     # max_iters cannot pull it back, making the loss at GOOD parameters look
     # terrible and misleading the line search.  Cold start costs no extra
-    # matvec (K @ 0 = 0), only one preconditioner apply on b.
+    # matvec (K @ 0 = 0), only one preconditioner apply on b.  Decided
+    # PER COLUMN (multi-output keeps its good warm columns), and phrased as
+    # NOT (warm <= cold) so a NaN/Inf warm residual — huge mixed-sign v0
+    # overflowing the matvec — also falls back to cold (plain `cold < warm`
+    # is False against NaN, which kept exactly the worst warm starts).
     zb, rzb = _pc.mat_vec(precond, b)
-    use_cold = total_err(rzb) < total_err(rz0)
-    v0 = jnp.where(use_cold, jnp.zeros_like(v0), v0)
-    r0 = jnp.where(use_cold, b, r0)
-    z0 = jnp.where(use_cold, zb, z0)
+    use_cold = jnp.logical_not(rz0 <= rzb)  # [B]
+    col = use_cold[:, None]
+    v0 = jnp.where(col, jnp.zeros_like(v0), v0)
+    r0 = jnp.where(col, b, r0)
+    z0 = jnp.where(col, zb, z0)
     rz0 = jnp.where(use_cold, rzb, rz0)
     state0 = _CGState(i=jnp.asarray(0, jnp.int32), v=v0, r=r0, p=z0, rz=rz0)
 

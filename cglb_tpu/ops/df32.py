@@ -32,7 +32,6 @@ cglb/backend/pytorch/models.py:176-213.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple, Tuple
 
@@ -41,8 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["DF", "df_from_f64", "df_to_f64", "df_sqrt", "df_exp",
-           "matern32_unit", "rbf_unit", "matern32_from_parts",
-           "rbf_from_parts"]
+           "matern32_unit", "rbf_unit"]
 
 # module-level constants stay numpy scalars: jnp constants created at import
 # time would become tracers when the import is triggered inside a traced
@@ -246,73 +244,6 @@ def _matern32_jvp(primals, tangents):
     # cancels the 1/r singularity of dr/dd2)
     drho = -1.5 * df_to_f64(e).astype(d2.dtype)
     return rho, drho * d2_dot
-
-
-def _d2_df_from_parts(cross, zn, xn):
-    """d2 as a df32 pair from fp64 parts: ONE fp64 elementwise pass (the
-    low half of the cross split); everything else is f32 or O(M+N)."""
-    cr = df_from_f64(cross)
-    zdf = df_from_f64(zn)
-    xdf = df_from_f64(xn)
-    znb = DF(zdf.hi[:, None], zdf.lo[:, None])
-    xnb = DF(xdf.hi[None, :], xdf.lo[None, :])
-    d2 = df_add(df_add(znb, xnb), df_mul_f(cr, _F32(-2.0)))
-    # clamp at zero against cancellation (the fp64 path's jnp.maximum)
-    neg = d2.hi < 0
-    zero = jnp.zeros_like(d2.hi)
-    return DF(jnp.where(neg, zero, d2.hi), jnp.where(neg, zero, d2.lo))
-
-
-@functools.partial(jax.custom_jvp, nondiff_argnums=())
-def matern32_from_parts(cross, zn, xn, var):
-    """Matern-3/2 Kuf block fused from distance parts, df32 inside:
-
-        kuf = var * rho(zn[:, None] + xn[None, :] - 2 cross)
-
-    cross [M, N], zn [M], xn [N], var scalar — all fp64 (lengthscale-scaled
-    upstream).  Only TWO emulated-fp64 elementwise passes over the [M, N]
-    block run (the cross low-split and the final var * (hi + lo)); the d2
-    assembly, clamp, sqrt, and exp are all compensated f32.  Replaces the
-    scaled_sq_dist + matern32_unit pipeline (~7 fp64 passes — measured
-    171 ms + 50 ms at [2048, 40960] on v5e vs ~100 ms fused)."""
-    d2 = _d2_df_from_parts(cross, zn, xn)
-    return var * df_to_f64(_matern32_df(d2))
-
-
-@matern32_from_parts.defjvp
-def _matern32_from_parts_jvp(primals, tangents):
-    cross, zn, xn, var = primals
-    dcross, dzn, dxn, dvar = tangents
-    d2 = _d2_df_from_parts(cross, zn, xn)
-    r = df_sqrt(d2)
-    s3r = df_mul_c(r, math.sqrt(3.0))
-    e = df_exp(df_neg(s3r))
-    rho = df_to_f64(df_mul(df_add_f(s3r, _F32(1.0)), e))
-    out = var * rho
-    # d out = rho dvar + var * rho'(d2) * d d2,  rho'(d2) = -1.5 exp(-s3 r)
-    coeff = (-1.5 * var) * df_to_f64(e)
-    dd2 = dzn[:, None] + dxn[None, :] - 2.0 * dcross
-    return out, rho * dvar + coeff * dd2
-
-
-@functools.partial(jax.custom_jvp, nondiff_argnums=())
-def rbf_from_parts(cross, zn, xn, var):
-    """Squared-exponential Kuf block fused from distance parts (see
-    matern32_from_parts)."""
-    d2 = _d2_df_from_parts(cross, zn, xn)
-    return var * df_to_f64(_rbf_df(d2))
-
-
-@rbf_from_parts.defjvp
-def _rbf_from_parts_jvp(primals, tangents):
-    cross, zn, xn, var = primals
-    dcross, dzn, dxn, dvar = tangents
-    d2 = _d2_df_from_parts(cross, zn, xn)
-    rho = df_to_f64(_rbf_df(d2))
-    out = var * rho
-    coeff = -0.5 * out
-    dd2 = dzn[:, None] + dxn[None, :] - 2.0 * dcross
-    return out, rho * dvar + coeff * dd2
 
 
 @jax.custom_jvp

@@ -71,31 +71,31 @@ def make_sharded_operator(mesh: Mesh, kernel, X, sigma_sq):
 
 def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
                           jitter: float, mixed: bool = False,
+                          gram: bool = None,
                           a_dtype=jnp.float32) -> _sgpr.CommonTerms:
     """Common terms with Kuf/A column-sharded; M x M results replicated.
 
-    mixed=True mirrors the single-device default (models/sgpr): kernel
-    profiles evaluated in df32 and the O(N M^2) contraction restructured as
-    the Gram matrix G = Kuf Kuf^T (per-shard partials, psum over ICI) with
-    AAT = L^-1 G L^-T — the emulated-fp64 [M, N] trisolve never runs; A is
-    materialized in a_dtype for the preconditioner only."""
+    Mirrors models/sgpr.common_terms' knobs: ``mixed`` selects the df32
+    kernel profiles, ``gram`` (defaults to ``mixed``) restructures the
+    O(N M^2) contraction as the Gram matrix G = Kuf Kuf^T (per-shard
+    partials, psum over ICI) with AAT = _sgpr._aat_sandwich(L, G, sigma) —
+    the emulated-fp64 [M, N] trisolve never runs and A is materialized in
+    a_dtype for the preconditioner only.  The n2m ablation passes
+    gram=False (needs full-precision A) while keeping the df32 build."""
     Z = params.inducing_Z.value
     M = Z.shape[0]
     kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
     L = jnp.linalg.cholesky(kuu)
+    gram = mixed if gram is None else gram
     if mixed:
         kuf = _sgpr._kuf_block_df32(params, Z, X)  # [M, N]
     else:
         kuf = _k.K(params.kernel, Z, X)
     kuf = _cshard(mesh, kuf, P(None, DATA_AXIS))
     sigma = jnp.sqrt(params.noise_variance.value)
-    if mixed:
+    if gram:
         G = _cshard(mesh, kuf @ kuf.T, P())  # per-shard partials + psum
-        T1 = jax.scipy.linalg.solve_triangular(L, G, lower=True)
-        AAT = jax.scipy.linalg.solve_triangular(L, T1.T, lower=True) / (
-            sigma * sigma
-        )
-        AAT = 0.5 * (AAT + AAT.T)
+        AAT = _sgpr._aat_sandwich(L, G, sigma)
         A = jax.scipy.linalg.solve_triangular(
             L.astype(a_dtype), kuf.astype(a_dtype), lower=True
         ) / sigma.astype(a_dtype)
@@ -127,8 +127,10 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
 
     jitter = jitter if jitter is not None else _config.default_jitter()
     N, D = Y.shape
-    mixed = cfg.common_dtype == "mixed" and cfg.logdet_variant != "n2m"
+    mixed = cfg.common_dtype == "mixed"
+    gram = mixed and cfg.logdet_variant != "n2m"
     ct = _sharded_common_terms(mesh, params, X, jitter, mixed=mixed,
+                               gram=gram,
                                a_dtype=jnp.dtype(cfg.precond_dtype))
     sigma_sq = params.noise_variance.value
 
@@ -145,7 +147,8 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
         mv = make_sharded_operator(mesh, params.kernel, X, sigma_sq)
     else:
         raise ValueError(f"unknown sharded matvec mode {matvec!r}")
-    quad, aux = _cglb._quad_form_bound(params, ct, X, Y, v0, cfg, mv)
+    quad, aux = _cglb._quad_form_bound(params, ct, X, Y, v0, cfg, mv,
+                                       consistent_ct=not gram)
     b += quad
     return -b, aux
 

@@ -93,49 +93,3 @@ def test_profiles_jittable(rng):
     want = (1.0 + s) * np.exp(-s)
     rel = np.abs(got - want) / np.maximum(want, 1e-30)
     assert rel[want > 1e-20].max() < 5e-11, rel[want > 1e-20].max()
-
-
-def test_from_parts_fused_profiles(rng):
-    """The fused Kuf primitives (d2 assembly + clamp + profile in df32 from
-    fp64 distance parts) match the fp64 oracle in values and gradients."""
-    M, N, d = 48, 160, 4
-    Z = rng.normal(size=(M, d))
-    X = rng.normal(size=(N, d))
-    cross = jnp.asarray(Z @ X.T)
-    zn = jnp.asarray((Z * Z).sum(-1))
-    xn = jnp.asarray((X * X).sum(-1))
-    var = jnp.asarray(1.3)
-
-    d2 = np.maximum(np.asarray(zn)[:, None] + np.asarray(xn)[None, :]
-                    - 2 * np.asarray(cross), 0)
-    r = np.sqrt(d2)
-    s = np.sqrt(3.0) * r
-    want_m = 1.3 * (1 + s) * np.exp(-s)
-    got_m = np.asarray(D.matern32_from_parts(cross, zn, xn, var))
-    assert (np.abs(got_m - want_m) / np.maximum(np.abs(want_m), 1e-30)).max() < 1e-9
-
-    want_r = 1.3 * np.exp(-0.5 * d2)
-    got_r = np.asarray(D.rbf_from_parts(cross, zn, xn, var))
-    assert (np.abs(got_r - want_r) / np.maximum(want_r, 1e-30)).max() < 1e-9
-
-    # JVP-transposed gradients vs finite differences
-    def f(c, z, x, v):
-        return jnp.sum(jnp.sin(D.matern32_from_parts(c, z, x, v)))
-
-    g = jax.grad(f, argnums=(0, 1, 2, 3))(cross, zn, xn, var)
-
-    def fnum(c, z, x, v):
-        dd = np.maximum(np.asarray(z)[:, None] + np.asarray(x)[None, :]
-                        - 2 * np.asarray(c), 0)
-        rr = np.sqrt(dd)
-        ss = np.sqrt(3.0) * rr
-        return np.sum(np.sin(float(v) * (1 + ss) * np.exp(-ss)))
-
-    eps = 1e-6
-    fd_var = (fnum(cross, zn, xn, 1.3 + eps)
-              - fnum(cross, zn, xn, 1.3 - eps)) / (2 * eps)
-    np.testing.assert_allclose(float(g[3]), fd_var, rtol=1e-6)
-    c2 = np.asarray(cross).copy(); c2[3, 7] += eps
-    c3 = np.asarray(cross).copy(); c3[3, 7] -= eps
-    fd_c = (fnum(c2, zn, xn, 1.3) - fnum(c3, zn, xn, 1.3)) / (2 * eps)
-    np.testing.assert_allclose(float(g[0][3, 7]), fd_c, rtol=1e-4)

@@ -196,3 +196,45 @@ def test_elbo_upper_mixed_match_fp64(rng):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.max(np.abs(a)), 1e-12)
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-7)
+
+
+def test_gram_terms_chunked_matches_unchunked(rng):
+    """The chunked gram path (lax.map accumulation of G/U/A — the branch
+    that actually runs at production scale) must agree with the unchunked
+    branch and the trisolve path, including the W factor and with_a=False."""
+    from cglb_tpu.ops import kernels as k
+    from cglb_tpu.models import sgpr
+
+    n, d, m = 500, 3, 24
+    X = jnp.asarray(rng.normal(size=(n, d)))
+    W = jnp.asarray(rng.normal(size=(n, 2)))
+    kern = k.make_kernel("Matern32", d, dtype=np.float64)
+    Z = np.asarray(X)[rng.choice(n, m, replace=False)]
+    params = sgpr.SGPRParams.create(kern, Z, noise_variance=0.2,
+                                    dtype=np.float64)
+    L = sgpr._kuu_chol(params, 1e-6)
+    sigma = jnp.sqrt(params.noise_variance.value)
+
+    A_u, AAT_u, AW_u = sgpr._gram_terms(params, L, X, sigma, W=W)
+    A_c, AAT_c, AW_c = sgpr._gram_terms(params, L, X, sigma, W=W,
+                                        chunk_size=128)
+    np.testing.assert_allclose(np.asarray(AAT_c), np.asarray(AAT_u),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(AW_c), np.asarray(AW_u),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A_c), np.asarray(A_u),
+                               rtol=1e-5, atol=1e-6)  # f32 A
+
+    # vs the fp64 trisolve path
+    A64, AAT64, AW64 = sgpr._kuf_terms(params, L, X, sigma, W=W)
+    np.testing.assert_allclose(np.asarray(AAT_c), np.asarray(AAT64),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(AW_c), np.asarray(AW64),
+                               rtol=1e-9, atol=1e-10)
+
+    # with_a=False skips A on both branches
+    A_n, AAT_n, _ = sgpr._gram_terms(params, L, X, sigma, W=W, with_a=False,
+                                     chunk_size=128)
+    assert A_n is None
+    np.testing.assert_allclose(np.asarray(AAT_n), np.asarray(AAT_c),
+                               rtol=1e-12)
