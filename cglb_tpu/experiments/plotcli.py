@@ -83,7 +83,7 @@ def cgstep(ctx, output_dir):
 
 @main.command("gpr_table")
 @click.option("-f", "--fmt", type=click.Choice(["markdown", "latex", "csv",
-                                                "plain"]), default="latex")
+                                                "plain"]), default="markdown")
 @click.option("-o", "--output", type=click.Path(), default=None)
 @click.pass_context
 def gpr_table(ctx, fmt, output):

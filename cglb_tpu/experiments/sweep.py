@@ -27,17 +27,20 @@ Every key in [sweep.grid] is crossed; scalar keys under [sweep] are constants.
 from __future__ import annotations
 
 import itertools
+import os
 import shlex
 import subprocess
 import sys
+import threading
 import tomllib
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict, List, Optional, Tuple
 
 import click
 
-__all__ = ["expand_grid", "run_sweep", "main"]
+__all__ = ["expand_grid", "run_sweep", "main", "detect_accelerators",
+           "compile_group_key"]
 
 
 def expand_grid(spec: Dict) -> List[Dict]:
@@ -72,12 +75,59 @@ def _render(point: Dict) -> str:
     return cmd.format(**{k: v for k, v in point.items() if k != "cmd"})
 
 
+def detect_accelerators() -> Tuple[int, str]:
+    """(device_count, platform) of the default jax backend, probed in a
+    SUBPROCESS: importing jax here would claim the (exclusive) TPU runtime in
+    the sweep parent and starve every child run.  Returns (0, "cpu") when no
+    accelerator is reachable."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return 0, "cpu"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print(len(d), d[0].platform)"],
+            capture_output=True, text=True, timeout=120,
+        )
+        n, platform = out.stdout.strip().split()[-2:]
+        n, platform = int(n), platform.lower()
+        if platform in ("tpu", "axon"):
+            return n, "tpu"
+        if platform == "gpu":
+            return n, "gpu"
+        return 0, "cpu"
+    except Exception:
+        return 0, "cpu"
+
+
+def compile_group_key(point: Dict) -> tuple:
+    """Points sharing this key compile the SAME XLA programs (they differ
+    only by seed), so one of them warms the persistent compile cache for the
+    rest.  Everything except the seed/uid identifies the (shape, config)."""
+    return tuple(
+        (k, str(v)) for k, v in sorted(point.items())
+        if k not in ("seed", "uid")
+    )
+
+
+def _point_platform(point: Dict, accel: Tuple[int, str]) -> str:
+    """Execution lane for a grid point: an explicit per-block ``platform``
+    key wins (e.g. platform = "cpu" for small ablations); otherwise the
+    detected accelerator (xpert's gpu_indices analogue:
+    cglb_experiments/xpert-main.toml:33-35)."""
+    p = str(point.get("platform", "auto")).lower()
+    if p != "auto":
+        return p
+    return accel[1] if accel[0] > 0 else "cpu"
+
+
 def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
-              restart: bool = False) -> int:
+              restart: bool = False, runner=None,
+              accel: Optional[Tuple[int, str]] = None) -> int:
     with open(grid_file, "rb") as f:
         spec = tomllib.load(f)
     points = expand_grid(spec)
-    cmds = []
+    jobs = []  # (cmd, point)
     for point in points:
         cmd = _render(point)
         logdir = None
@@ -94,34 +144,81 @@ def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
                 and results_marker.exists()):
             print(f"[skip] {cmd}")
             continue
-        cmds.append(cmd)
+        jobs.append((cmd, point))
 
     if dry_run:
-        for cmd in cmds:
+        for cmd, _ in jobs:
             print(cmd)
         return 0
-
-    def _run(cmd) -> int:
-        print(f"[run] {cmd}", flush=True)
-        proc = subprocess.run(shlex.split(cmd))
-        if proc.returncode != 0:
-            print(f"[fail rc={proc.returncode}] {cmd}", file=sys.stderr)
-            return 1
+    if not jobs:
         return 0
 
+    if accel is None:
+        accel = detect_accelerators() if num_proc > 1 else (0, "cpu")
+    n_accel = max(accel[0], 0)
+    # accelerator lane: at most n_accel concurrent device-bound runs — on
+    # this one-chip environment two TPU processes would serialize on the
+    # device and corrupt timings (PERF.md); CPU-lane points keep the full
+    # worker pool.  Each accelerator run is pinned to a free chip slot via
+    # TPU_VISIBLE_DEVICES (the xpert gpu_indices analogue), so multi-chip
+    # hosts fan TPU points out one-per-chip.
+    accel_sem = threading.Semaphore(max(n_accel, 1))
+    slot_lock = threading.Lock()
+    free_slots = list(range(max(n_accel, 1)))
+
+    def _run(job) -> int:
+        cmd, point = job
+        lane = _point_platform(point, accel)
+        env = dict(os.environ)
+        slot = None
+        if lane == "cpu":
+            env["JAX_PLATFORMS"] = "cpu"
+        else:
+            accel_sem.acquire()
+            with slot_lock:
+                slot = free_slots.pop()
+            if n_accel > 1 and lane == "tpu":
+                env["TPU_VISIBLE_DEVICES"] = str(slot)
+            elif n_accel > 1 and lane == "gpu":
+                env["CUDA_VISIBLE_DEVICES"] = str(slot)
+        try:
+            print(f"[run:{lane}] {cmd}", flush=True)
+            if runner is not None:
+                rc = runner(cmd, env, lane)
+            else:
+                rc = subprocess.run(shlex.split(cmd), env=env).returncode
+            if rc != 0:
+                print(f"[fail rc={rc}] {cmd}", file=sys.stderr)
+                return 1
+            return 0
+        finally:
+            if slot is not None:
+                with slot_lock:
+                    free_slots.append(slot)
+                accel_sem.release()
+
     if num_proc <= 1:
-        results = [_run(cmd) for cmd in cmds]
-    elif cmds:
-        # Warm the persistent XLA compilation cache on the FIRST point before
-        # fanning out: cold fp64/mixed CGLB compiles are minutes (PERF.md),
-        # and num_proc parallel cold starts would each pay that compile for
-        # the same (shape, config) instead of hitting the cache written by
-        # the first run.
-        results = [_run(cmds[0])]
-        with ThreadPoolExecutor(max_workers=num_proc) as pool:
-            results += list(pool.map(_run, cmds[1:]))
-    else:
-        results = []
+        results = [_run(job) for job in jobs]
+        return sum(results)
+
+    # Warm the persistent XLA compilation cache with ONE representative per
+    # compile group (points identical up to seed share XLA programs) before
+    # fanning out: cold fp64/mixed CGLB compiles are minutes (PERF.md), and
+    # parallel cold starts would each pay that compile.  Multi-[[sweep]]
+    # grids get one warm run per distinct (model, M, dataset) group, not
+    # just cmds[0] (ADVICE r2).
+    seen = set()
+    warm, rest = [], []
+    for job in jobs:
+        key = compile_group_key(job[1])
+        if key in seen:
+            rest.append(job)
+        else:
+            seen.add(key)
+            warm.append(job)
+    results = [_run(job) for job in warm]
+    with ThreadPoolExecutor(max_workers=num_proc) as pool:
+        results += list(pool.map(_run, rest))
     return sum(results)
 
 

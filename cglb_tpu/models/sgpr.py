@@ -394,8 +394,15 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None,
         _, AAT0, A0err = _kuf_terms(params, L, X, one, W=err)
     LB = jnp.linalg.cholesky(eye_m + AAT0 / sigma_sq)
 
-    # Trace slack: c = tr(Kff) - tr(Qff) >= 0 inflates the noise.
-    cslack = jnp.sum(_k.kdiag(params.kernel, X)) - jnp.trace(AAT0)
+    # Trace slack: c = tr(Kff) - tr(Qff) >= 0 inflates the noise.  The
+    # subtraction cancels catastrophically as Q -> K at large M (the same
+    # regime that NaN'd the sibling trace terms; models/cglb.py:92-124) and
+    # can go slightly negative, which would silently invalidate the bound
+    # (corrected_noise < sigma^2) and NaN the cholesky below once
+    # corrected_noise <= 0.  Clamp at the true minimum 0.
+    cslack = jnp.maximum(
+        jnp.sum(_k.kdiag(params.kernel, X)) - jnp.trace(AAT0), 0.0
+    )
     corrected_noise = sigma_sq + cslack
 
     const = -0.5 * N * jnp.log(2.0 * math.pi * sigma_sq)

@@ -133,8 +133,22 @@ def df_neg(x: DF) -> DF:
     return DF(-x.hi, -x.lo)
 
 
+# clamp limit sits well below f32max: _two_prod's Veltkamp split multiplies
+# by 4097 (overflows above ~8.3e34) and df_sqrt squares its Newton iterate.
+# 1e34 leaves headroom for every df op chain; all kernel profiles are
+# identically 0 (underflowed exp) far below this.
+_F32_MAX = 1e34
+
+
 def df_from_f64(x) -> DF:
-    """Split an fp64 array into a df32 pair (exact to f32-pair precision)."""
+    """Split an fp64 array into a df32 pair (exact to f32-pair precision).
+
+    Inputs beyond the f32-finite range are clamped: |x| > f32max would make
+    hi = inf and every subsequent df op NaN (inf - inf inside two_sum),
+    where the pure-fp64 kernel profiles return exactly 0.  Clamping is
+    value-safe for the profile consumers — rho(3.4e38) underflows to 0
+    anyway — and keeps extreme line-search probes finite."""
+    x = jnp.clip(x, -_F32_MAX, _F32_MAX)
     hi = x.astype(_F32)
     lo = (x - hi.astype(x.dtype)).astype(_F32)
     return DF(hi, lo)

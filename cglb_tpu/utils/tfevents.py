@@ -25,27 +25,52 @@ import time
 
 __all__ = ["EventFileWriter"]
 
-# ---- crc32c (Castagnoli), table-driven ----
+# ---- crc32c (Castagnoli), slicing-by-8 table-driven ----
 
-_CRC_TABLE = []
+# 8 tables of 256 entries: table[0] is the classic byte-at-a-time table;
+# table[k][b] is the CRC of byte b followed by k zero bytes, letting the hot
+# loop fold 8 input bytes per iteration (~8x fewer Python-level iterations
+# than per-byte — matters on long runs routing per-feval scalars to TB).
+_CRC_TABLES = []
 
 
-def _build_table():
+def _build_tables():
     poly = 0x82F63B78
+    t0 = []
     for i in range(256):
         crc = i
         for _ in range(8):
             crc = (crc >> 1) ^ (poly if crc & 1 else 0)
-        _CRC_TABLE.append(crc)
+        t0.append(crc)
+    _CRC_TABLES.append(t0)
+    for k in range(1, 8):
+        prev = _CRC_TABLES[k - 1]
+        _CRC_TABLES.append([(prev[i] >> 8) ^ t0[prev[i] & 0xFF]
+                            for i in range(256)])
 
 
-_build_table()
+_build_tables()
 
 
 def _crc32c(data: bytes) -> int:
+    t = _CRC_TABLES
     crc = 0xFFFFFFFF
-    for b in data:
-        crc = (crc >> 8) ^ _CRC_TABLE[(crc ^ b) & 0xFF]
+    n8 = len(data) - (len(data) % 8)
+    for i in range(0, n8, 8):
+        crc ^= int.from_bytes(data[i : i + 4], "little")
+        hi = int.from_bytes(data[i + 4 : i + 8], "little")
+        crc = (
+            t[7][crc & 0xFF]
+            ^ t[6][(crc >> 8) & 0xFF]
+            ^ t[5][(crc >> 16) & 0xFF]
+            ^ t[4][(crc >> 24) & 0xFF]
+            ^ t[3][hi & 0xFF]
+            ^ t[2][(hi >> 8) & 0xFF]
+            ^ t[1][(hi >> 16) & 0xFF]
+            ^ t[0][(hi >> 24) & 0xFF]
+        )
+    for b in data[n8:]:
+        crc = (crc >> 8) ^ t[0][(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
 
 

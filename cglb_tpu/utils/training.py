@@ -112,19 +112,37 @@ def scipy_minimize(
         "loss": np.inf,
         "unflatten": _fl.make_unflatten(params),
         "x": None,
+        "x_good": None,  # last finite-loss iterate (penalty-bowl center)
     }
+
+    # Non-finite losses (extreme line-search probes: CG divergence, cholesky
+    # NaN) are returned to L-BFGS-B as a smooth finite penalty bowl centered
+    # at the last good iterate instead of raw NaN.  scipy's dcsrch line
+    # search handles NaN by blind repeated halving (~12 wasted fevals per
+    # probe episode, ~30% of a kin40k run's fevals — PERF.md); a finite
+    # value with an informative slope lets its polynomial interpolation back
+    # off in 1-2 evaluations.
+    _PENALTY = 1e12
 
     def fun(x):
         p = holder["unflatten"](x)
         (loss, new_state), grads = vg(p, holder["state"], *data)
         holder["params"] = p
         holder["state"] = new_state
-        holder["loss"] = float(loss)
         holder["x"] = np.array(x, copy=True)
         if logger is not None and feval_stats_fn is not None:
             logger.log_for_feval(**feval_stats_fn(new_state))
+        loss_f = float(loss)
+        if not np.isfinite(loss_f):
+            xg = holder["x_good"]
+            dx = x - xg if xg is not None else np.zeros_like(x)
+            f = _PENALTY * (1.0 + float(dx @ dx))
+            g = (2.0 * _PENALTY) * dx
+            return f, np.asarray(g, dtype=np.float64)
+        holder["loss"] = loss_f
+        holder["x_good"] = np.array(x, copy=True)
         g = _fl.flatten_grads_like(p, grads)
-        return float(loss), np.asarray(g, dtype=np.float64)
+        return loss_f, np.asarray(g, dtype=np.float64)
 
     def callback(xk):
         # publish the accepted iterate BEFORE the logger fires: the logger's
@@ -148,7 +166,9 @@ def scipy_minimize(
         if freeze_inducing_after is not None and attempt == freeze_inducing_after:
             holder["params"] = _freeze_inducing(holder["params"])
             holder["unflatten"] = _fl.make_unflatten(holder["params"])
-            holder["x"] = None  # partition changed; vector space differs
+            # partition changed; vector space differs
+            holder["x"] = None
+            holder["x_good"] = None
         res = scipy.optimize.minimize(
             fun,
             _fl.flatten_trainable(holder["params"]),

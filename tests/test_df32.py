@@ -93,3 +93,19 @@ def test_profiles_jittable(rng):
     want = (1.0 + s) * np.exp(-s)
     rel = np.abs(got - want) / np.maximum(want, 1e-30)
     assert rel[want > 1e-20].max() < 5e-11, rel[want > 1e-20].max()
+
+
+def test_profiles_finite_at_f32_overflow(rng):
+    """d2 above the f32-finite range must not NaN the df32 profiles: the
+    fp64 oracle returns exactly 0 there (ADVICE r2: df_from_f64 hi=inf made
+    inf-inf NaNs inside two_sum at extreme line-search probes)."""
+    d2 = jnp.asarray([1e38, 5e38, 1e40, 1e300], dtype=jnp.float64)
+    for fn in (D.matern32_unit, D.rbf_unit):
+        out = np.asarray(fn(d2))
+        assert np.all(np.isfinite(out)), out
+        # effectively zero against unit-scale diagonals (the clamped exp
+        # leaves a ~3e-19 Matern tail: (1 + s3r) * exp(-87) at s3r ~ 2e19)
+        np.testing.assert_allclose(out, 0.0, atol=1e-18)
+    # gradients stay finite too
+    g = jax.grad(lambda x: jnp.sum(D.matern32_unit(x)))(d2)
+    assert np.all(np.isfinite(np.asarray(g)))

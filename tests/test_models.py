@@ -238,3 +238,26 @@ def test_gram_terms_chunked_matches_unchunked(rng):
     assert A_n is None
     np.testing.assert_allclose(np.asarray(AAT_n), np.asarray(AAT_c),
                                rtol=1e-12)
+
+
+def test_upper_bound_stable_in_sigma_collapse(rng):
+    """upper_bound's trace slack cslack = tr(K) - tr(Q) cancels
+    catastrophically as Q -> K at large M; un-clamped it goes negative,
+    silently invalidating the bound (corrected_noise < sigma^2) and NaN-ing
+    the cholesky once corrected_noise <= 0 (VERDICT r2 weak #5)."""
+    n, d = 128, 2
+    X = rng.normal(size=(n, d))
+    Y = np.sin(X[:, :1])
+    # inducing points == data + huge variance + collapsed noise: the slack
+    # is mathematically 0 and numerically ~ +/- eps64 * n * variance
+    kern = k.make_kernel("Matern32", d, dtype=np.float64, variance=1e6)
+    params = sgpr.SGPRParams.create(kern, X, noise_variance=1e-10,
+                                    dtype=np.float64, variance_lower=1e-12)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    for mixed in (False, True):
+        ub = float(sgpr.upper_bound(params, Xj, Yj, mixed=mixed))
+        assert np.isfinite(ub), f"upper_bound (mixed={mixed}) not finite: {ub}"
+        # the bound must still sit above the (finite) ELBO
+        el = float(sgpr.elbo(params, Xj, Yj, mixed=mixed))
+        if np.isfinite(el):
+            assert ub >= el - 1e-6

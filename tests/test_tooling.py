@@ -131,3 +131,78 @@ def test_phase_timer():
         pass
     assert pt.counts["a"] == 2
     assert "a" in pt.report()
+
+
+def test_sweep_compile_group_key():
+    from cglb_tpu.experiments.sweep import compile_group_key
+
+    a = {"cmd": "c", "dataset": "pol", "M": 1024, "seed": 999, "uid": "u1"}
+    b = {"cmd": "c", "dataset": "pol", "M": 1024, "seed": 777, "uid": "u2"}
+    c = {"cmd": "c", "dataset": "pol", "M": 2048, "seed": 999, "uid": "u3"}
+    assert compile_group_key(a) == compile_group_key(b)
+    assert compile_group_key(a) != compile_group_key(c)
+
+
+def test_sweep_warms_one_point_per_compile_group(tmp_path):
+    """Multi-[[sweep]] grids warm ONE representative per (config, shape)
+    group serially before fanning out (ADVICE r2: cmds[0]-only warming left
+    other blocks paying simultaneous cold compiles)."""
+    import threading
+
+    grid = tmp_path / "grid.toml"
+    grid.write_text(
+        '[[sweep]]\ncmd = "run {M} {seed}"\n'
+        "[sweep.grid]\nM = [1, 2]\nseed = [7, 8]\n"
+        '[[sweep]]\ncmd = "run2 {seed}"\n'
+        "[sweep.grid]\nseed = [7, 8]\n"
+    )
+    order = []
+    lock = threading.Lock()
+
+    def runner(cmd, env, lane):
+        with lock:
+            order.append(cmd)
+        return 0
+
+    rc = run_sweep(grid, num_proc=4, runner=runner, accel=(0, "cpu"))
+    assert rc == 0
+    assert len(order) == 6
+    # the three distinct compile groups (M=1, M=2, run2) are warmed FIRST
+    warm = set(order[:3])
+    assert warm == {"run 1 7", "run 2 7", "run2 7"}
+
+
+def test_sweep_serializes_tpu_lane_on_one_chip(tmp_path):
+    """With one accelerator chip, device-bound points never overlap (two TPU
+    processes serialize on the chip and corrupt timings — VERDICT r2 weak
+    #6); CPU-lane points keep the full pool and get JAX_PLATFORMS=cpu."""
+    import threading
+    import time
+
+    grid = tmp_path / "grid.toml"
+    grid.write_text(
+        '[[sweep]]\ncmd = "tpu {seed}"\n'
+        "[sweep.grid]\nseed = [1, 2, 3, 4]\n"
+        '[[sweep]]\ncmd = "cpu {seed}"\nplatform = "cpu"\n'
+        "[sweep.grid]\nseed = [1, 2, 3, 4]\n"
+    )
+    state = {"tpu_now": 0, "tpu_max": 0, "cpu_max": 0, "cpu_now": 0}
+    lock = threading.Lock()
+
+    def runner(cmd, env, lane):
+        kind = "tpu" if cmd.startswith("tpu") else "cpu"
+        if kind == "cpu":
+            assert env.get("JAX_PLATFORMS") == "cpu"
+        with lock:
+            state[f"{kind}_now"] += 1
+            state[f"{kind}_max"] = max(state[f"{kind}_max"],
+                                       state[f"{kind}_now"])
+        time.sleep(0.05)
+        with lock:
+            state[f"{kind}_now"] -= 1
+        return 0
+
+    rc = run_sweep(grid, num_proc=4, runner=runner, accel=(1, "tpu"))
+    assert rc == 0
+    assert state["tpu_max"] == 1, state  # serialized by construction
+    assert state["cpu_max"] >= 2, state  # CPU points ran in parallel
