@@ -65,20 +65,30 @@ def main():
 
     stage(f"data ready n={n} m={m} blk={blk}")
     # --- streaming matvec rate (10 chained matvecs inside one jit, so the
-    # packing prep is hoisted exactly as in the CG loop) ---
+    # packing prep is hoisted exactly as in the CG loop).  The HEADLINE
+    # number is the CG-loop tier — the operator every training CG iteration
+    # actually runs (single-pass-bf16 contraction; the bound assembly uses
+    # the accurate tier, reported in detail). ---
     chain = 10
 
-    def chained(p):
-        op = mv.make_streaming_operator(kern, X, jnp.asarray(0.0), blk, blk)
+    def make_chained(which):
+        def chained(p):
+            pair = mv.make_streaming_operator_pair(kern, X, jnp.asarray(0.0),
+                                                   blk, blk)
+            op = pair[which]
 
-        def body(i, q):
-            return op(q) / n
-        return jnp.sum(jax.lax.fori_loop(0, chain, body, p))
+            def body(i, q):
+                return op(q) / n
+            return jnp.sum(jax.lax.fori_loop(0, chain, body, p))
+        return chained
 
-    f_stream = jax.jit(chained)
+    f_stream = jax.jit(make_chained(1))  # CG tier (production hot op)
     t_stream = _bench(f_stream, p, iters=5) / chain
     tflops = 2.0 * n * n / t_stream / 1e12
-    stage(f"streaming matvec {t_stream*1e3:.2f} ms")
+    stage(f"streaming matvec (cg tier) {t_stream*1e3:.2f} ms")
+    f_acc = jax.jit(make_chained(0))     # accurate tier (assembly/predict)
+    t_acc = _bench(f_acc, p, iters=5) / chain
+    stage(f"streaming matvec (accurate tier) {t_acc*1e3:.2f} ms")
 
     # --- dense fp64 XLA baseline rate: K materialized once, matvec per iter
     # (the reference TF backend's scheme, memory-bound on reading K).  Run at
@@ -125,9 +135,12 @@ def main():
             A=ct.A.astype(jnp.float32), LB=ct.LB.astype(jnp.float32),
             sigma_sq=sigma_sq,
         )
-        op = mv.make_streaming_operator(params.kernel, X, sigma_sq, blk, blk)
+        # CG runs the cheap tier, exactly as the training loss does
+        _, op_cg = mv.make_streaming_operator_pair(params.kernel, X, sigma_sq,
+                                                   blk, blk)
         v, stats = cg_mod.preconditioned_cg(
-            op, b, jnp.zeros_like(b), precond, max_error=0.0, max_iters=n_iters
+            op_cg, b, jnp.zeros_like(b), precond, max_error=0.0,
+            max_iters=n_iters
         )
         return v, stats
 
@@ -147,8 +160,10 @@ def main():
         "unit": "TFLOP/s",
         "vs_baseline": round(vs_baseline, 2),
         "detail": {
-            "shape": {"N": n, "D": d, "M": m, "dtype": "fp64(df64-stream)"},
+            "shape": {"N": n, "D": d, "M": m,
+                      "dtype": "fp64(mxu-d2 stream, bf16 cg contract)"},
             "matvec_ms": round(t_stream * 1e3, 3),
+            "matvec_accurate_ms": round(t_acc * 1e3, 3),
             "dense_fp64_baseline_tflops": round(dense_rate / 1e12, 4),
             "cg_iters_per_s": round(iters_per_s, 2),
             "device": str(jax.devices()[0]),

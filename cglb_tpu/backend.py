@@ -139,7 +139,12 @@ class Model:
                     return sharded_cglb_loss(params, X, Y, v0, cfg, mesh,
                                              matvec=mode)
             else:
-                make_op = self._matvec_factory()
+                make_pair = self._matvec_factory(pair=True)
+                # fast CG tier only in the loose training regime: at
+                # max_error >= 0.5 the ~1e-3 single-pass-bf16 operator error
+                # sits far below the stopping threshold, and the accurate
+                # assembly keeps the bound valid (ops/matvec_pallas docstring)
+                fast_cg = cfg.max_error >= 0.5
 
                 def fn(params, carry, X, Y):
                     # carry is either the raw v0 array or last feval's CGLBAux
@@ -148,20 +153,27 @@ class Model:
                         # trainable v: read from the params pytree so gradients
                         # flow into it through the bound assembly
                         v0 = params.v0.value
-                    matvec = None
-                    if make_op is not None:
-                        matvec = make_op(params.kernel, X,
-                                         params.noise_variance.value)
-                    l, aux = _cglb.loss(params, X, Y, v0, cfg, matvec=matvec)
+                    matvec = matvec_cg = None
+                    if make_pair is not None:
+                        matvec, cg_tier = make_pair(
+                            params.kernel, X, params.noise_variance.value
+                        )
+                        matvec_cg = cg_tier if fast_cg else matvec
+                    l, aux = _cglb.loss(params, X, Y, v0, cfg, matvec=matvec,
+                                        matvec_cg=matvec_cg)
                     return l, aux
         else:
             raise NotImplementedError(kind)
         return fn
 
-    def _matvec_factory(self):
+    def _matvec_factory(self, pair: bool = False):
         """None -> dense K materialization (reference TF backend behavior);
         else a (kernel, X, sigma_sq) -> matvec builder using the streaming
-        Pallas operator (the KeOps-replacement; reference --keops)."""
+        Pallas operator (the KeOps-replacement; reference --keops).
+
+        pair=True: the builder returns (accurate_matvec, cg_matvec) sharing
+        one packed prep — the training loss hands the cheap tier to the CG
+        loop (ops/matvec_pallas.make_streaming_operator_pair)."""
         mode = self.matvec_mode
         n = self.data[0].shape[0]
         if mode == "dense":
@@ -174,7 +186,9 @@ class Model:
         blk = 1024 if n >= 16384 else 512
 
         def make_op(kernel, X, sigma_sq):
-            return _mvp.make_streaming_operator(kernel, X, sigma_sq, blk, blk)
+            p = _mvp.make_streaming_operator_pair(kernel, X, sigma_sq, blk,
+                                                  blk)
+            return p if pair else p[0]
 
         return make_op
 
@@ -282,18 +296,72 @@ class Model:
                           cg_tolerance: Optional[float] = 1e-3):
         """Batched posterior prediction (reference batches at 1e5/1e6 rows:
         pytorch/interface.py:580,637).  Pads the last batch so one compiled
-        program serves every batch."""
+        program serves every batch.
+
+        PredictCG-cache parity (reference pytorch/models.py:289-354): for
+        CGLB/SGPR models the batch-independent work — common terms and the
+        CG solve — runs EXACTLY ONCE per call and is reused by every batch;
+        only the O(S) per-batch projections repeat."""
         Xnew = jnp.asarray(Xnew)
         n = Xnew.shape[0]
         if n <= batch_size:
             return self.predict_f(Xnew, cg_tolerance=cg_tolerance)
+
+        batch_fn = None
+        if self.kind in _CGLB_KINDS:
+            cfg = self.run_cfg
+            make_op = self._matvec_factory()
+            mixed = self.common_dtype == "mixed"
+            joint = cfg.joint_optimization and not cfg.vzero
+
+            def _prep(p, v0, X, Y):
+                if joint and p.v0 is not None:
+                    v0 = p.v0.value
+                matvec = None
+                if make_op is not None:
+                    matvec = make_op(p.kernel, X, p.noise_variance.value)
+                return _cglb.predict_prepare(
+                    p, X, Y, v0, cfg, cg_tolerance=cg_tolerance,
+                    matvec=matvec, mixed=mixed,
+                )
+
+            def _batch(p, cache, X, xs):
+                cross_matvec = None
+                if make_op is not None:
+                    from .ops import matvec_pallas as _mvp
+
+                    cross_matvec = lambda v: _mvp.kernel_cross_matvec(
+                        p.kernel, X, xs, v
+                    )
+                return _cglb.predict_from_cache(p, cache, X, xs,
+                                                cross_matvec=cross_matvec)
+
+            prep_fn = self._jit(f"predict_prep_tol{cg_tolerance}", _prep)
+            cache = prep_fn(self.params, self.v0, *self.data)
+            fn = self._jit("predict_batch", _batch)
+            batch_fn = lambda chunk: fn(self.params, cache, self.data[0],
+                                        chunk)
+        elif self.kind in ("sgpr", "sgprn2m"):
+            prep_fn = self._jit(
+                "predict_prep", lambda p, X, Y: _sgpr.predict_prepare(p, X, Y)
+            )
+            cache = prep_fn(self.params, *self.data)
+            fn = self._jit(
+                "predict_batch",
+                lambda p, cache, xs: _sgpr.predict_from_cache(p, cache, xs),
+            )
+            batch_fn = lambda chunk: fn(self.params, cache, chunk)
+
         means, vars_ = [], []
         for start in range(0, n, batch_size):
             chunk = Xnew[start : start + batch_size]
             pad = batch_size - chunk.shape[0]
             if pad:
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)), mode="edge")
-            m, v = self.predict_f(chunk, cg_tolerance=cg_tolerance)
+            if batch_fn is not None:
+                m, v = batch_fn(chunk)
+            else:
+                m, v = self.predict_f(chunk, cg_tolerance=cg_tolerance)
             if pad:
                 m, v = m[:-pad], v[:-pad]
             means.append(m)

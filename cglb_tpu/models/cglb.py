@@ -37,7 +37,8 @@ from .gaussian import mean_apply, predict_log_density
 from .sgpr import SGPRParams, CommonTerms, common_terms
 
 __all__ = ["CGLBConfig", "CGLBAux", "loss", "bound", "predict_f",
-           "cglb_predict_log_density", "init_v0"]
+           "cglb_predict_log_density", "init_v0", "PredictCache",
+           "predict_prepare", "predict_from_cache"]
 
 LOGDET_VARIANTS = ("jensen", "n2m", "nm2")
 
@@ -166,11 +167,19 @@ def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig,
 
 def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
                      cfg: CGLBConfig, matvec=None, max_error=None,
-                     consistent_ct: bool = False
+                     consistent_ct: bool = False, matvec_cg=None
                      ) -> Tuple[jnp.ndarray, CGLBAux]:
     """-ub on 0.5 err^T (K+s2I)^-1 err, plus the new warm start.
 
     reference: tensorflow/models.py:150-173.
+
+    matvec_cg: optional cheaper operator for the CG ITERATIONS only (e.g.
+    the single-pass-bf16 streaming tier, ops/matvec_pallas).  Sound for any
+    accuracy: CG merely proposes v, and the bound below is assembled from
+    the accurate ``matvec`` — lb(v) is a valid lower bound for EVERY v, and
+    r/error_bound use the true residual, so an inexact-operator v only
+    loosens the reported bound (KeOps plays the same fast-inner-loop role in
+    the reference, pytorch/models.py:251-252).
     """
     sigma_sq = params.noise_variance.value
     err = Y - mean_apply(params.mean, X)
@@ -186,7 +195,8 @@ def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
     else:
         me = cfg.max_error if max_error is None else max_error
         v, stats = _cg.preconditioned_cg(
-            matvec, err_t, v0, P, me, cfg.max_cg_iters, cfg.restart_cg_iters
+            matvec_cg if matvec_cg is not None else matvec,
+            err_t, v0, P, me, cfg.max_cg_iters, cfg.restart_cg_iters
         )
         # preconditioned_cg already stop-gradients its result.
 
@@ -210,11 +220,14 @@ REMAT_THRESHOLD_ELEMENTS = 128 * 1024 * 1024
 
 def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
           jitter: float = None, matvec: Optional[Callable] = None,
-          remat_common_terms: Optional[bool] = None
+          remat_common_terms: Optional[bool] = None,
+          matvec_cg: Optional[Callable] = None
           ) -> Tuple[jnp.ndarray, CGLBAux]:
     """The CGLB lower bound on log p(Y|X).  Returns (bound, aux).
 
     reference: tensorflow/models.py:175-192.
+    matvec_cg: optional cheap operator for the CG iterations only (see
+    _quad_form_bound).
 
     remat_common_terms: rematerialize Kuf/A/AAT in the backward pass instead
     of storing the O(N M) intermediates.  Default (None) decides by size:
@@ -242,17 +255,115 @@ def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
     b = -0.5 * N * D * math.log(2.0 * math.pi)
     b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
     quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec,
-                                 consistent_ct=not gram)
+                                 consistent_ct=not gram,
+                                 matvec_cg=matvec_cg)
     b += quad
     return b, aux
 
 
 def loss(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
-         jitter: float = None, matvec: Optional[Callable] = None
+         jitter: float = None, matvec: Optional[Callable] = None,
+         matvec_cg: Optional[Callable] = None
          ) -> Tuple[jnp.ndarray, CGLBAux]:
     """Training loss = -bound; aux carries the CG warm start + stats."""
-    b, aux = bound(params, X, Y, v0, cfg, jitter, matvec)
+    b, aux = bound(params, X, Y, v0, cfg, jitter, matvec,
+                   matvec_cg=matvec_cg)
     return -b, aux
+
+
+class PredictCache(NamedTuple):
+    """Batch-independent prediction state (PredictCG-cache parity: the
+    reference caches common terms and the CG solution across metric
+    evaluations and prediction batches — cglb/backend/pytorch/models.py:
+    289-354 ``use_cache``/``cached_v_vec``, consumed at interface.py:607-658).
+    One CG solve + one common-terms build serve every prediction batch."""
+
+    v: jnp.ndarray   # [D, N] CG solution at the prediction tolerance
+    c: jnp.ndarray   # [M, D] LB^-1 (A @ res) / sigma  (res = err - (K+s2)v)
+    L: jnp.ndarray   # [M, M] chol(Kuu + jitter I)
+    LB: jnp.ndarray  # [M, M]
+
+
+def predict_prepare(params: SGPRParams, X, Y, v0,
+                    cfg: CGLBConfig = CGLBConfig(),
+                    cg_tolerance: Optional[float] = 1e-3,
+                    jitter: float = None,
+                    matvec: Optional[Callable] = None,
+                    mixed: bool = False) -> PredictCache:
+    """Run the batch-independent prediction work ONCE: common terms, the CG
+    solve at ``cg_tolerance`` (1e-3 default; None / vzero / joint reuse v0
+    as-is), and the [M, D] residual projection.
+
+    mixed=True keeps the O(N M^2) work off the emulated-fp64 trisolve at
+    scale (gram-form AAT/LB + a chunked df32 Kuf pass for A @ res — both
+    fp64-grade; see models/sgpr.py)."""
+    sigma_sq = params.noise_variance.value
+    sigma = jnp.sqrt(sigma_sq)
+    err = Y - mean_apply(params.mean, X)
+    if mixed:
+        ct = common_terms(params, X, jitter, mixed=True)
+    else:
+        ct = common_terms(params, X, jitter)
+    if matvec is None:
+        matvec = _op.make_dense_operator(params.kernel, X, sigma_sq)
+
+    if cg_tolerance is None or cfg.v_is_external:
+        v = v0
+    else:
+        P = _make_precond(ct, sigma_sq, cfg, consistent_ct=not mixed)
+        v, _ = _cg.preconditioned_cg(
+            matvec, err.T, v0, P, cg_tolerance, cfg.max_cg_iters,
+            cfg.restart_cg_iters
+        )
+
+    res = err - matvec(v).T  # [N, D]
+    if mixed:
+        from .sgpr import kuf_weighted
+
+        Ares = kuf_weighted(params, ct.L, X, res, sigma)
+    else:
+        Ares = ct.A @ res
+    c = jsl.solve_triangular(ct.LB, Ares, lower=True) / sigma
+    return PredictCache(v=v, c=c, L=ct.L, LB=ct.LB)
+
+
+def predict_from_cache(params: SGPRParams, cache: PredictCache, X, Xnew,
+                       full_cov: bool = False,
+                       cross_matvec: Optional[Callable] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-batch prediction from a PredictCache: only O(S M + S N) work —
+    no CG, no [M, N] solve (reference per-batch path:
+    pytorch/models.py:307-354 with use_cache=True).
+
+    cross_matvec: optional p [B, N] -> p K(X, Xnew) [B, S] closure — at
+    scale the streaming version avoids materializing the [S, N] cross
+    kernel (its fp64 matmul would blow HBM; see PERF.md)."""
+    Z = params.inducing_Z.value
+    v, c = cache.v, cache.c
+    if cross_matvec is not None:
+        cg_mean = cross_matvec(v).T  # [S, D]
+    else:
+        Ksf = _k.K(params.kernel, Xnew, X)  # [S, N]
+        cg_mean = Ksf @ v.T  # [S, D]
+
+    Kus = _k.K(params.kernel, Z, Xnew)
+    tmp1 = jsl.solve_triangular(cache.L, Kus, lower=True)
+    tmp2 = jsl.solve_triangular(cache.LB, tmp1, lower=True)
+    sgpr_mean = tmp2.T @ c
+    D = v.shape[0]
+    if full_cov:
+        # tile the shared covariance over the output dim like the reference
+        # ([P, S, S]; tensorflow/models.py:238) so both branches are per-output
+        var = _k.K(params.kernel, Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+        var = jnp.tile(var[None], (D, 1, 1))
+    else:
+        var = (
+            _k.kdiag(params.kernel, Xnew)
+            + jnp.sum(jnp.square(tmp2), axis=0)
+            - jnp.sum(jnp.square(tmp1), axis=0)
+        )
+        var = jnp.tile(var[:, None], (1, D))
+    return sgpr_mean + cg_mean + mean_apply(params.mean, Xnew), var
 
 
 def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig(),
@@ -263,56 +374,13 @@ def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig()
     """CGLB posterior: m(x*) = SGPR-mean-on-residual + Ks,f v.
 
     With v = 0 this is the SGPR mean; with exact v it is the exact GP mean
-    (reference: tensorflow/models.py:194-246).  Runs a fresh CG at
-    ``cg_tolerance`` (1e-3 default; None / vzero / joint reuse v0 as-is).
-
-    cross_matvec: optional p [B, N] -> p K(X, Xnew) [B, S] closure — at scale
-    the streaming version avoids materializing the [S, N] cross kernel (its
-    fp64 matmul would blow HBM; see PERF.md).
-    """
-    sigma_sq = params.noise_variance.value
-    sigma = jnp.sqrt(sigma_sq)
-    err = Y - mean_apply(params.mean, X)
-    ct = common_terms(params, X, jitter)
-    Z = params.inducing_Z.value
-    if matvec is None:
-        matvec = _op.make_dense_operator(params.kernel, X, sigma_sq)
-
-    if cg_tolerance is None or cfg.v_is_external:
-        v = v0
-    else:
-        P = _make_precond(ct, sigma_sq, cfg, consistent_ct=True)
-        v, _ = _cg.preconditioned_cg(
-            matvec, err.T, v0, P, cg_tolerance, cfg.max_cg_iters,
-            cfg.restart_cg_iters
-        )
-
-    if cross_matvec is not None:
-        cg_mean = cross_matvec(v).T  # [S, D]
-    else:
-        Ksf = _k.K(params.kernel, Xnew, X)  # [S, N]
-        cg_mean = Ksf @ v.T  # [S, D]
-    res = err - matvec(v).T  # [N, D]
-
-    Kus = _k.K(params.kernel, Z, Xnew)
-    Ares = ct.A @ res
-    c = jsl.solve_triangular(ct.LB, Ares, lower=True) / sigma
-    tmp1 = jsl.solve_triangular(ct.L, Kus, lower=True)
-    tmp2 = jsl.solve_triangular(ct.LB, tmp1, lower=True)
-    sgpr_mean = tmp2.T @ c
-    if full_cov:
-        # tile the shared covariance over the output dim like the reference
-        # ([P, S, S]; tensorflow/models.py:238) so both branches are per-output
-        var = _k.K(params.kernel, Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
-        var = jnp.tile(var[None], (Y.shape[1], 1, 1))
-    else:
-        var = (
-            _k.kdiag(params.kernel, Xnew)
-            + jnp.sum(jnp.square(tmp2), axis=0)
-            - jnp.sum(jnp.square(tmp1), axis=0)
-        )
-        var = jnp.tile(var[:, None], (1, Y.shape[1]))
-    return sgpr_mean + cg_mean + mean_apply(params.mean, Xnew), var
+    (reference: tensorflow/models.py:194-246).  Composition of
+    predict_prepare + predict_from_cache (batched callers hoist the prepare
+    out of the batch loop)."""
+    cache = predict_prepare(params, X, Y, v0, cfg, cg_tolerance, jitter,
+                            matvec)
+    return predict_from_cache(params, cache, X, Xnew, full_cov=full_cov,
+                              cross_matvec=cross_matvec)
 
 
 def cglb_predict_log_density(params: SGPRParams, X, Y, v0, Xnew, Ynew,

@@ -36,9 +36,12 @@ __all__ = [
     "SGPRParams",
     "CommonTerms",
     "common_terms",
+    "kuf_weighted",
     "elbo",
     "upper_bound",
     "predict_f",
+    "predict_prepare",
+    "predict_from_cache",
     "sgpr_predict_log_density",
     "elbo_n2m",
 ]
@@ -294,6 +297,40 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     return A, AAT, AW
 
 
+def kuf_weighted(params: SGPRParams, L, X, W, sigma_scale,
+                 chunk_size: int = None):
+    """AW = L^-1 (Kuf @ W) / sigma_scale at fp64-grade without the [M, N]
+    emulated-fp64 trisolve: df32 Kuf blocks + fp64 matmuls in one chunked
+    pass, then one small [M, D] solve.  Serves the prediction cache's
+    residual projection at scale (models/cglb.py predict_prepare)."""
+    import jax
+
+    Z = params.inducing_Z.value
+    M = Z.shape[0]
+    N = X.shape[0]
+    if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
+        chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
+    if chunk_size is None or N <= chunk_size:
+        U = _kuf_block_df32(params, Z, X) @ W
+    else:
+        n_chunks = -(-N // chunk_size)
+        n_pad = n_chunks * chunk_size
+        Xp = jnp.pad(X, ((0, n_pad - N), (0, 0)), mode="edge")
+        Xc = Xp.reshape(n_chunks, chunk_size, X.shape[1])
+        Wp = jnp.pad(W, ((0, n_pad - N), (0, 0)))
+        Wc = Wp.reshape(n_chunks, chunk_size, W.shape[1])
+        # padded X rows repeat real points but their W rows are zero, so the
+        # partial products are exact without a mask
+        U = jnp.sum(
+            jax.lax.map(
+                lambda args: _kuf_block_df32(params, Z, args[0]) @ args[1],
+                (Xc, Wc),
+            ),
+            axis=0,
+        )
+    return jsl.solve_triangular(L, U, lower=True) / sigma_scale
+
+
 def common_terms(params: SGPRParams, X, jitter: float = None,
                  chunk_size: int = None, mixed: bool = False,
                  gram: bool = None, a_dtype=jnp.float32) -> CommonTerms:
@@ -416,32 +453,66 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None,
     return const + logdet + quad
 
 
-def predict_f(params: SGPRParams, X, Y, Xnew, full_cov: bool = False,
-              jitter: float = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """SGPR posterior at Xnew (the q(f*) of the collapsed bound)."""
-    ct = common_terms(params, X, jitter)
+class SGPRPredictCache(NamedTuple):
+    """Batch-independent SGPR prediction state: one common-terms build
+    serves every prediction batch (same caching idea as the CGLB
+    PredictCache; reference batches SGPR predictions without re-deriving
+    the posterior per batch)."""
+
+    c: jnp.ndarray   # [M, D] LB^-1 (A @ err) / sigma
+    L: jnp.ndarray
+    LB: jnp.ndarray
+
+
+def predict_prepare(params: SGPRParams, X, Y, jitter: float = None,
+                    mixed: bool = False) -> SGPRPredictCache:
+    """The batch-independent half of predict_f.  mixed=True keeps the
+    O(N M^2) work off the emulated-fp64 trisolve at scale (gram path)."""
+    from .. import config as _config
+
+    jitter = jitter if jitter is not None else _config.default_jitter()
     err = Y - mean_apply(params.mean, X)
     sigma = jnp.sqrt(params.noise_variance.value)
-    Z = params.inducing_Z.value
+    M = params.num_inducing
+    L = _kuu_chol(params, jitter)
+    if mixed:
+        _, AAT, Aerr = _gram_terms(params, L, X, sigma, W=err, with_a=False)
+    else:
+        _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
+    LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
+    c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
+    return SGPRPredictCache(c=c, L=L, LB=LB)
 
+
+def predict_from_cache(params: SGPRParams, cache: SGPRPredictCache, Xnew,
+                       full_cov: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-batch SGPR posterior from a cache: O(S M^2) only."""
+    Z = params.inducing_Z.value
     Kus = _k.K(params.kernel, Z, Xnew)  # [M, S]
-    Aerr = ct.A @ err
-    c = jsl.solve_triangular(ct.LB, Aerr, lower=True) / sigma
-    tmp1 = jsl.solve_triangular(ct.L, Kus, lower=True)
-    tmp2 = jsl.solve_triangular(ct.LB, tmp1, lower=True)
-    f_mean = tmp2.T @ c + mean_apply(params.mean, Xnew)
+    tmp1 = jsl.solve_triangular(cache.L, Kus, lower=True)
+    tmp2 = jsl.solve_triangular(cache.LB, tmp1, lower=True)
+    f_mean = tmp2.T @ cache.c + mean_apply(params.mean, Xnew)
+    D = cache.c.shape[1]
     if full_cov:
         # [P, S, S], tiled over outputs (reference tensorflow/models.py:238)
         var = _k.K(params.kernel, Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
-        var = jnp.tile(var[None], (Y.shape[1], 1, 1))
+        var = jnp.tile(var[None], (D, 1, 1))
     else:
         var = (
             _k.kdiag(params.kernel, Xnew)
             + jnp.sum(jnp.square(tmp2), axis=0)
             - jnp.sum(jnp.square(tmp1), axis=0)
         )
-        var = jnp.tile(var[:, None], (1, Y.shape[1]))
+        var = jnp.tile(var[:, None], (1, D))
     return f_mean, var
+
+
+def predict_f(params: SGPRParams, X, Y, Xnew, full_cov: bool = False,
+              jitter: float = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SGPR posterior at Xnew (the q(f*) of the collapsed bound)."""
+    cache = predict_prepare(params, X, Y, jitter)
+    return predict_from_cache(params, cache, Xnew, full_cov=full_cov)
 
 
 def sgpr_predict_log_density(params: SGPRParams, X, Y, Xnew, Ynew,

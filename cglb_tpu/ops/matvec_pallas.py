@@ -8,20 +8,38 @@ tile).  Here the same streaming computation is a Pallas TPU kernel:
     out[b, j] = sum_i p[b, i] * k(x_i, x_j)        (K never materialized in HBM)
 
 Precision strategy (the fp64-on-TPU problem, SURVEY.md section 7 "hard parts"):
-fp64 matmuls on TPU lower to slow emulation, so the cancellation-prone cross
-term of the squared distance runs as a **lane-packed bf16 multi-split matmul**:
-each lengthscale-scaled coordinate is split into four bf16 components
-(x ~= b1+b2+b3+b4, ~32 mantissa bits); bf16 x bf16 products are *exact* in the
-MXU's f32 accumulator, so packing the 8 significant split-pairs side by side in
-the 128-lane contraction dimension computes the compensated cross term in ONE
-single-pass MXU matmul (two for D > 16).  Squared norms are precomputed in fp64
-and carried as f32 hi+lo pairs.  Net accuracy ~1e-6 relative vs the dense fp64
-oracle — far below the CG stopping thresholds used in training (max_error=1.0)
-and prediction (1e-3); the dense fp64 XLA path stays available where bitwise
-fp64 matters.
+fp64 matmuls on TPU lower to slow emulation, so the squared distance is
+computed by ONE lane-packed bf16 matmul on the MXU ("MXU-d2"): each
+lengthscale-scaled coordinate is split into four bf16 components
+(x ~= b0+b1+b2+b3, ~32 mantissa bits); bf16 x bf16 products are *exact* in the
+MXU's f32 accumulator, so the 8 significant split-pairs of the cross term AND
+the squared norms (themselves bf16-4-split, paired with ones-columns) ride
+side by side in the contraction dimension — the matmul result IS gamma * d2
+directly, with the family constant folded into the packing scale
+(gamma = 3 for Matern32 so sqrt gives sqrt(3) r; gamma = 1/2 for RBF so exp
+takes the result unmodified).  Moving the norm/broadcast adds from the VPU
+into the (otherwise idle) MXU is worth ~8% of the kernel; measured accuracy
+~2.2e-6 max relative vs the dense fp64 oracle — far below the CG stopping
+thresholds used in training (max_error=1.0) and prediction (1e-3); the dense
+fp64 XLA path stays available where bitwise fp64 matters.
 
-Accumulation across i-tiles is Kahan-compensated in VMEM scratch (f32 products,
-~f48 effective).
+Contraction tiers (the VPU/MXU trade measured in PERF.md round 3): the
+p @ rho(d2) contraction dominates the remaining non-profile cost because an
+f32 matmul at Precision.HIGHEST lowers to 6 bf16 MXU passes (~3 ms of a
+~12 ms matvec at N=40k).  Two tiers share one packed prep:
+
+- "highest": full f32-grade contraction — the default; used for the bound
+  assembly, prediction, and gradients.
+- "default": single-pass bf16 contraction (~1e-3 relative operator error) —
+  the TRAINING CG-loop tier (make_streaming_operator_pair).  Sound because
+  the CGLB bound is valid for ANY v: CG merely proposes v, and the
+  differentiable assembly re-evaluates r = err - (K + s2 I) v with the
+  accurate tier, so an inexact-operator v only (slightly) loosens the
+  reported error bound, never invalidates it.  Same role as KeOps' use of
+  fast CUDA kernels inside CG while the bound terms are assembled exactly.
+
+Accumulation across i-tiles is Kahan-compensated in VMEM scratch (f32
+products, ~f48 effective; measured free).
 
 Differentiability (custom_vjp):
     d/dp            = g K                  (one more streaming pass; K = K^T)
@@ -45,23 +63,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import kernels as _k
 
-__all__ = ["kernel_matvec", "make_streaming_operator", "split_hi_lo"]
-
-_SQRT3 = math.sqrt(3.0)
+__all__ = ["kernel_matvec", "kernel_cross_matvec", "make_streaming_operator",
+           "make_streaming_operator_pair", "split_hi_lo"]
 
 # split-pair schedule: indices into the 4-way bf16 split (0-based), ordered by
 # magnitude; sum of b[a] @ b[b].T over pairs reconstructs x.x to ~2^-40.
+# MUST stay symmetric under (a, c) -> (c, a) so K stays symmetric.
 _PAIRS = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (2, 0), (0, 3), (3, 0)]
+
+# family constant folded into the packed coordinates: the d2 matmul emits
+# gamma * d2 so the kernel profile needs no per-entry rescale.
+_GAMMA = {"rbf": 0.5, "mat32": 3.0}
 
 
 class _Spec(NamedTuple):
     """Static kernel/tiling description (hashable; nondiff custom_vjp arg)."""
 
-    family: str  # "rbf" | "mat32"
+    family: str     # "rbf" | "mat32"
     block_i: int
     block_j: int
     interpret: bool
-    n_packs: int  # how many packed matmuls the pair schedule was folded into
+    contract: str   # "highest" | "default" (see module docstring)
 
 
 def _on_tpu() -> bool:
@@ -101,87 +123,43 @@ def _bf16_split4(x):
     return parts
 
 
-def _pack_lr(Xs):
-    """Build the packed left/right bf16 matrices whose single(-or-double)-pass
-    product reconstructs Xs @ Xs.T to ~2^-40 relative.
-
-    Returns (left [N, P], right [N, P], n_packs) with P = packs * 128-friendly
-    width; callers contract left_i @ right_j.T (optionally in n_packs chunks of
-    equal width — kept as one concatenated array with even chunk widths)."""
-    b = _bf16_split4(Xs)
-    D = Xs.shape[1]
-    per = 128 // D  # pairs per 128-lane matmul
-    if per >= len(_PAIRS):
-        groups = [_PAIRS]
-    else:
-        per = max(per, 1)
-        groups = [
-            _PAIRS[k : k + per] for k in range(0, len(_PAIRS), per)
-        ]
-    lefts, rights = [], []
-    width = max(len(g) for g in groups) * D
-    for g in groups:
-        l = jnp.concatenate([b[a] for a, _ in g], axis=1)
-        r = jnp.concatenate([b[c] for _, c in g], axis=1)
-        # pad every group to the same width so one array holds all packs
-        if l.shape[1] < width:
-            l = jnp.pad(l, ((0, 0), (0, width - l.shape[1])))
-            r = jnp.pad(r, ((0, 0), (0, width - r.shape[1])))
-        lefts.append(l)
-        rights.append(r)
-    return (
-        jnp.concatenate(lefts, axis=1),
-        jnp.concatenate(rights, axis=1),
-        len(groups),
-    )
+def _contract_precision(spec: _Spec):
+    # interpret mode (CPU) runs f32 matmuls at full precision either way;
+    # HIGHEST keeps the oracle tests meaningful there.
+    if spec.contract == "default" and not spec.interpret:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
 
 
-def _tile_cross(left_i, right_j, n_packs):
-    """Compensated Xs_i @ Xs_j.T from packed bf16 blocks (f32 out)."""
-    f32 = jnp.float32
-    w = left_i.shape[1] // n_packs
-    acc = None
-    for g in range(n_packs):
-        li = left_i[:, g * w : (g + 1) * w]
-        rj = right_j[:, g * w : (g + 1) * w]
-        c = jnp.dot(li, rj.T, preferred_element_type=f32)
-        acc = c if acc is None else acc + c
-    return acc
+def _tile_t(dl_i, dr_j):
+    """gamma * d2 tile from the packed operands: ONE bf16 MXU matmul (exact
+    products, f32 accumulation), clamped at 0 against rounding."""
+    dot = jnp.dot(dl_i, dr_j.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(dot, 0.0)
 
 
-def _tile_d2(spec, left_i, right_j, nhi_i, nlo_i, nhi_j, nlo_j):
-    cross = _tile_cross(left_i, right_j, spec.n_packs)
-    ni = nhi_i[:, 0] + nlo_i[:, 0]
-    nj = nhi_j[:, 0] + nlo_j[:, 0]
-    return jnp.maximum(ni[:, None] + nj[None, :] - 2.0 * cross, 0.0)
-
-
-def _tile_rho(spec: _Spec, d2):
-    """Unit-variance kernel tile rho(d2)."""
+def _tile_rho(spec: _Spec, t):
+    """Unit-variance kernel tile rho from t = gamma * d2."""
     if spec.family == "rbf":
-        return jnp.exp(-0.5 * d2)
-    r = jnp.sqrt(d2)
-    s3r = _SQRT3 * r
-    return (1.0 + s3r) * jnp.exp(-s3r)
+        return jnp.exp(-t)          # t = d2 / 2
+    s = jnp.sqrt(t)                 # t = 3 d2  =>  s = sqrt(3) r
+    return (1.0 + s) * jnp.exp(-s)
 
 
-def _tile_drho_dd2(spec: _Spec, d2):
-    """d(rho)/d(d2) tile."""
+def _tile_drho_dd2(spec: _Spec, t):
+    """d(rho)/d(d2) tile from t = gamma * d2."""
     if spec.family == "rbf":
-        return -0.5 * jnp.exp(-0.5 * d2)
-    r = jnp.sqrt(d2)
-    return -1.5 * jnp.exp(-_SQRT3 * r)
+        return -0.5 * jnp.exp(-t)
+    return -1.5 * jnp.exp(-jnp.sqrt(t))
 
 
-def _matvec_kernel(spec: _Spec, p_ref, li_ref, nhi_i_ref, nlo_i_ref,
-                   rj_ref, nhi_j_ref, nlo_j_ref, out_ref, acc_ref, comp_ref):
+def _matvec_kernel(spec: _Spec, p_ref, dl_ref, dr_ref, out_ref, acc_ref,
+                   comp_ref):
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
-    d2 = _tile_d2(spec, li_ref[:], rj_ref[:], nhi_i_ref[:], nlo_i_ref[:],
-                  nhi_j_ref[:], nlo_j_ref[:])
-    kt = _tile_rho(spec, d2)
+    kt = _tile_rho(spec, _tile_t(dl_ref[:], dr_ref[:]))
     contrib = jnp.dot(p_ref[:], kt, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_contract_precision(spec))
 
     @pl.when(i == 0)
     def _():
@@ -201,23 +179,21 @@ def _matvec_kernel(spec: _Spec, p_ref, li_ref, nhi_i_ref, nlo_i_ref,
         out_ref[:] = acc_ref[:]
 
 
-def _ls_grad_kernel(spec: _Spec, p_ref, g_ref, li_ref, nhi_i_ref, nlo_i_ref,
-                    xi_ref, rj_ref, nhi_j_ref, nlo_j_ref, xj_ref, out_ref):
+def _ls_grad_kernel(spec: _Spec, p_ref, g_ref, dl_ref, xi_ref, dr_ref,
+                    xj_ref, out_ref):
     j = pl.program_id(0)
     i = pl.program_id(1)
-    d2 = _tile_d2(spec, li_ref[:], rj_ref[:], nhi_i_ref[:], nlo_i_ref[:],
-                  nhi_j_ref[:], nlo_j_ref[:])
-    kp = _tile_drho_dd2(spec, d2)  # [bi, bj]
+    kp = _tile_drho_dd2(spec, _tile_t(dl_ref[:], dr_ref[:]))  # [bi, bj]
     # m_ij = (sum_b p_bi g_bj) rho'_ij — the rank-B outer product runs as one
     # [bi, B] @ [B, bj] MXU matmul, so multi-RHS (multi-output) gradients cost
     # one kernel pass instead of B
+    hi_p = jax.lax.Precision.HIGHEST
     m = jnp.dot(p_ref[:].T, g_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) * kp
+                precision=hi_p) * kp
     xi = xi_ref[:]  # f32 scaled coords suffice for gradient accuracy
     xj = xj_ref[:]
     # sum_ij m_ij (xs_id - xs_jd)^2
     #   = rowsum(m) . xi^2 + colsum(m) . xj^2 - 2 sum_i xi_d (m @ xj)_id
-    hi_p = jax.lax.Precision.HIGHEST
     t1 = jnp.dot(jnp.sum(m, axis=1)[None, :], xi * xi,
                  preferred_element_type=jnp.float32, precision=hi_p)
     t2 = jnp.dot(jnp.sum(m, axis=0)[None, :], xj * xj,
@@ -248,36 +224,48 @@ def _pad_cols(a, n_pad):
 class _Prepared(NamedTuple):
     """Packed device tensors consumed by the tile kernels.  Array-only pytree
     so it can cross a custom_vjp boundary (cotangents are zeroed: the analytic
-    dls already accounts for the lengthscale dependence baked into these)."""
+    dls already accounts for the lengthscale dependence baked into these).
 
-    left: jnp.ndarray    # [N_pad, P] bf16 packed splits
-    right: jnp.ndarray   # [N_pad, P] bf16 packed splits
-    nhi: jnp.ndarray     # [N_pad, 1] f32 squared-norm hi
-    nlo: jnp.ndarray     # [N_pad, 1] f32 squared-norm lo
-    xhi: jnp.ndarray     # [N_pad, D] f32 scaled coords (for the ls gradient)
+    dleft/dright: [N_pad, P] bf16 — dleft_i . dright_j = gamma * d2(x_i, x_j)
+    (cross-term splits with -2 folded into dleft, plus 4-way bf16 splits of
+    the gamma-scaled squared norms paired with ones-columns).  A point set
+    carries BOTH sides so transposed contractions (the dp cotangent) just
+    swap the row/column roles.
+    xhi: [N_pad, D] f32 lengthscale-scaled coords (for the ls gradient)."""
+
+    dleft: jnp.ndarray
+    dright: jnp.ndarray
+    xhi: jnp.ndarray
 
 
-def _prepare(block_i, block_j, X, ls):
-    """Lengthscale-scale in fp64, bf16-split pack, fp64 norms as f32 hi/lo,
-    pad rows to tile multiples.  EXPENSIVE relative to one tile pass (fp64
-    elementwise is emulated on TPU) — callers hoist it out of the CG loop via
-    make_streaming_operator, which runs it once per objective evaluation.
-
-    Returns (_Prepared, n_packs)."""
+def _prepare(block_i, block_j, X, ls, family):
+    """Lengthscale- and gamma-scale in fp64, bf16-split pack of coords AND
+    norms, pad rows to tile multiples.  EXPENSIVE relative to one tile pass
+    (fp64 elementwise is emulated on TPU) — callers hoist it out of the CG
+    loop via make_streaming_operator, which runs it once per objective
+    evaluation."""
     bmax = max(block_i, block_j)
     n_pad = int(np.ceil(X.shape[0] / bmax) * bmax)
     Xs = X / ls
-    left, right, n_packs = _pack_lr(Xs)
-    norms = jnp.sum(Xs * Xs, axis=1, keepdims=True)
-    nhi, nlo = split_hi_lo(norms)
-    xhi = Xs.astype(jnp.float32)
+    Xg = Xs * math.sqrt(_GAMMA[family])
+    b = _bf16_split4(Xg)
+    norms = jnp.sum(Xg * Xg, axis=1, keepdims=True)  # fp64, = gamma |xs|^2
+    nb = _bf16_split4(norms)
+    ones = jnp.ones_like(nb[0])
+    bf16 = jnp.bfloat16
+    # -2 folded into the left cross splits (exact in bf16: exponent shift)
+    dleft = jnp.concatenate(
+        [(-2.0 * b[a]).astype(bf16) for a, _ in _PAIRS] + nb + [ones] * 4,
+        axis=1,
+    )
+    dright = jnp.concatenate(
+        [b[c] for _, c in _PAIRS] + [ones] * 4 + nb, axis=1
+    )
     return _Prepared(
-        left=_pad_rows(left, n_pad),
-        right=_pad_rows(right, n_pad),
-        nhi=_pad_rows(nhi, n_pad),
-        nlo=_pad_rows(nlo, n_pad),
-        xhi=_pad_rows(xhi, n_pad),
-    ), n_packs
+        dleft=_pad_rows(dleft, n_pad),
+        dright=_pad_rows(dright, n_pad),
+        xhi=_pad_rows(Xs.astype(jnp.float32), n_pad),
+    )
 
 
 def _matvec_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, p):
@@ -285,11 +273,11 @@ def _matvec_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, p):
     p [B, Ni] -> p @ rho(Xi, Xj) [B, Nj].  Rectangular: the row space (summed
     over, where p lives) and the column space (output) may be different point
     sets — the sharded large-N path slices the column space per device."""
-    ni_pad = rows.left.shape[0]
-    nj_pad = cols.left.shape[0]
+    ni_pad = rows.dleft.shape[0]
+    nj_pad = cols.dright.shape[0]
     B = p.shape[0]
     bi, bj = spec.block_i, spec.block_j
-    P = rows.left.shape[1]
+    P = rows.dleft.shape[1]
     pf = _pad_cols(p.astype(jnp.float32), ni_pad)
 
     out = pl.pallas_call(
@@ -298,12 +286,8 @@ def _matvec_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, p):
         grid=(nj_pad // bj, ni_pad // bi),
         in_specs=[
             pl.BlockSpec((B, bi), lambda j, i: (i * 0, i)),   # p tile
-            pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # left_i
-            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),   # nhi_i
-            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),   # nlo_i
-            pl.BlockSpec((bj, P), lambda j, i: (j, j * 0)),   # right_j
-            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),   # nhi_j
-            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),   # nlo_j
+            pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # dleft_i
+            pl.BlockSpec((bj, P), lambda j, i: (j, j * 0)),   # dright_j
         ],
         out_specs=pl.BlockSpec((B, bj), lambda j, i: (j * 0, j)),
         scratch_shapes=[
@@ -311,16 +295,16 @@ def _matvec_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, p):
             pltpu.VMEM((B, bj), jnp.float32),
         ],
         interpret=spec.interpret,
-    )(pf, rows.left, rows.nhi, rows.nlo, cols.right, cols.nhi, cols.nlo)
+    )(pf, rows.dleft, cols.dright)
     return out
 
 
 def _ls_grad_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, var,
                        ls, p, g):
-    ni_pad = rows.left.shape[0]
-    nj_pad = cols.left.shape[0]
+    ni_pad = rows.dleft.shape[0]
+    nj_pad = cols.dright.shape[0]
     bi, bj = spec.block_i, spec.block_j
-    P = rows.left.shape[1]
+    P = rows.dleft.shape[1]
     D = rows.xhi.shape[1]
     B = p.shape[0]
     pf = _pad_cols(p.astype(jnp.float32), ni_pad)
@@ -333,19 +317,14 @@ def _ls_grad_from_prep(spec: _Spec, rows: _Prepared, cols: _Prepared, var,
         in_specs=[
             pl.BlockSpec((B, bi), lambda j, i: (i * 0, i)),   # p tile
             pl.BlockSpec((B, bj), lambda j, i: (j * 0, j)),   # g tile
-            pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # left_i
-            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),
-            pl.BlockSpec((bi, 1), lambda j, i: (i, i * 0)),
+            pl.BlockSpec((bi, P), lambda j, i: (i, i * 0)),   # dleft_i
             pl.BlockSpec((bi, D), lambda j, i: (i, i * 0)),   # xi
-            pl.BlockSpec((bj, P), lambda j, i: (j, j * 0)),   # right_j
-            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),
-            pl.BlockSpec((bj, 1), lambda j, i: (j, j * 0)),
+            pl.BlockSpec((bj, P), lambda j, i: (j, j * 0)),   # dright_j
             pl.BlockSpec((bj, D), lambda j, i: (j, j * 0)),   # xj
         ],
         out_specs=pl.BlockSpec((1, D), lambda j, i: (j * 0, i * 0)),
         interpret=spec.interpret,
-    )(pf, gf, rows.left, rows.nhi, rows.nlo, rows.xhi, cols.right, cols.nhi,
-      cols.nlo, cols.xhi)
+    )(pf, gf, rows.dleft, rows.xhi, cols.dright, cols.xhi)
     # d(d2)/d(ls_d) = -(2/ls_d)(xs_id - xs_jd)^2 ; kernel accumulated
     # sum_ij m (xs_i - xs_j)^2 with unit-variance rho' => scale by var here.
     return acc[0].astype(ls.dtype) * (-2.0 * var / ls)
@@ -408,10 +387,10 @@ def kernel_matvec(kernel, X, p, block_i: int = 512, block_j: int = 512,
     _check_blocks(block_i, block_j, interpret)
     var = kernel.variance.value
     ls = kernel.lengthscales.value
-    spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
-                 interpret=interpret, n_packs=1)
-    prep, n_packs = _prepare(block_i, block_j, X, ls)
-    spec = spec._replace(n_packs=n_packs)
+    family = _family_of(kernel)
+    spec = _Spec(family=family, block_i=block_i, block_j=block_j,
+                 interpret=interpret, contract="highest")
+    prep = _prepare(block_i, block_j, X, ls, family)
     return _streaming_matvec(spec, X.shape[0], prep, prep, var, ls, p)
 
 
@@ -429,12 +408,11 @@ def kernel_cross_matvec(kernel, X_rows, X_cols, p, block_i: int = 512,
     _check_blocks(block_i, block_j, interpret)
     var = kernel.variance.value
     ls = kernel.lengthscales.value
-    spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
-                 interpret=interpret, n_packs=1)
-    rows, n_packs = _prepare(block_i, block_j, X_rows, ls)
-    cols, n_packs2 = _prepare(block_i, block_j, X_cols, ls)
-    assert n_packs == n_packs2
-    spec = spec._replace(n_packs=n_packs)
+    family = _family_of(kernel)
+    spec = _Spec(family=family, block_i=block_i, block_j=block_j,
+                 interpret=interpret, contract="highest")
+    rows = _prepare(block_i, block_j, X_rows, ls, family)
+    cols = _prepare(block_i, block_j, X_cols, ls, family)
     return _streaming_matvec(spec, X_cols.shape[0], rows, cols, var, ls, p)
 
 
@@ -445,20 +423,39 @@ def make_streaming_operator(kernel, X, sigma_sq, block_i: int = 512,
     The bf16 packing / norm precomputation runs ONCE here (outside the CG
     while_loop — fp64 elementwise prep is emulated and would otherwise
     dominate each iteration)."""
+    return make_streaming_operator_pair(kernel, X, sigma_sq, block_i,
+                                        block_j, interpret)[0]
+
+
+def make_streaming_operator_pair(kernel, X, sigma_sq, block_i: int = 512,
+                                 block_j: int = 512, interpret: bool = None):
+    """(accurate_matvec, cg_matvec) closures for (K + sigma^2 I), sharing one
+    packed prep.
+
+    accurate_matvec contracts at f32-grade (Precision.HIGHEST, ~2e-6 kernel
+    accuracy) — for bound assembly, prediction, and gradients.  cg_matvec
+    contracts in a single bf16 MXU pass (~1e-3 operator error, ~25% faster
+    per CG iteration) — for the TRAINING CG loop only, where any proposed v
+    yields a valid bound because the assembly re-evaluates the residual with
+    accurate_matvec (see module docstring)."""
     if interpret is None:
         interpret = not _on_tpu()
     _check_blocks(block_i, block_j, interpret)
     var = kernel.variance.value
     ls = kernel.lengthscales.value
-    spec = _Spec(family=_family_of(kernel), block_i=block_i, block_j=block_j,
-                 interpret=interpret, n_packs=1)
-    prep, n_packs = _prepare(block_i, block_j, X, ls)
-    spec = spec._replace(n_packs=n_packs)
+    family = _family_of(kernel)
+    spec_acc = _Spec(family=family, block_i=block_i, block_j=block_j,
+                     interpret=interpret, contract="highest")
+    spec_cg = spec_acc._replace(contract="default")
+    prep = _prepare(block_i, block_j, X, ls, family)
     n = X.shape[0]
 
-    def matvec(p):
-        return _streaming_matvec(spec, n, prep, prep, var, ls, p) + (
-            sigma_sq * p
-        )
+    def make(spec):
+        def matvec(p):
+            return _streaming_matvec(spec, n, prep, prep, var, ls, p) + (
+                sigma_sq * p
+            )
 
-    return matvec
+        return matvec
+
+    return make(spec_acc), make(spec_cg)

@@ -55,11 +55,11 @@ def make_sharded_streaming_operator(mesh: Mesh, kernel, X, sigma_sq,
     n = X.shape[0]
     var = kernel.variance.value
     ls = kernel.lengthscales.value
-    spec = _mv._Spec(family=_mv._family_of(kernel), block_i=block_i,
-                     block_j=block_j, interpret=interpret, n_packs=1)
-    prep, n_packs = _mv._prepare(block_i, block_j, X, ls)
-    spec = spec._replace(n_packs=n_packs)
-    n_pad = prep.left.shape[0]
+    family = _mv._family_of(kernel)
+    spec = _mv._Spec(family=family, block_i=block_i, block_j=block_j,
+                     interpret=interpret, contract="highest")
+    prep = _mv._prepare(block_i, block_j, X, ls, family)
+    n_pad = prep.dleft.shape[0]
     stride = n_dev * block_j
     if n_pad % stride != 0:
         target = -(-n_pad // stride) * stride
