@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -205,6 +206,36 @@ def _kuf_block_df32(params: SGPRParams, Z, Xc):
     return var * rho
 
 
+@jax.custom_vjp
+def _gram_outer(kuf):
+    """G = Kuf Kuf^T with an fp64 forward and an f32-HIGHEST backward.
+
+    The forward must hold fp64 (the AAT sandwich amplifies G errors by
+    kappa(L)^2; the 1e-10 AAT budget needs the emulated-fp64 matmul).  The
+    BACKWARD does not: dKuf = (dG + dG^T) Kuf only feeds gradient descent,
+    and its f32-HIGHEST evaluation (exact bf16x6 products, f32 accumulation
+    over the M=2048 contraction) carries ~3e-6 relative error — far below
+    any line-search sensitivity — while costing ~1/20 of the emulated-fp64
+    matmul that dominated the backward pass (PERF.md round 3).  The
+    ``common_dtype='float64'`` path never routes through here, so bitwise
+    fp64 gradients remain available."""
+    return kuf @ kuf.T
+
+
+def _gram_outer_fwd(kuf):
+    return _gram_outer(kuf), kuf
+
+
+def _gram_outer_bwd(kuf, dG):
+    sym = (dG + dG.T).astype(jnp.float32)
+    dk = jnp.dot(sym, kuf.astype(jnp.float32),
+                 precision=jax.lax.Precision.HIGHEST)
+    return (dk.astype(kuf.dtype),)
+
+
+_gram_outer.defvjp(_gram_outer_fwd, _gram_outer_bwd)
+
+
 def _aat_sandwich(L, G, sigma_scale):
     """AAT = L^-1 G L^-T / sigma_scale^2 via two [M, M] trisolves,
     symmetrized (the two solves round differently above/below the
@@ -263,7 +294,9 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
             ) / sigma_cast
         else:
             a_c = jnp.zeros((M, 0), dtype=a_dtype)
-        return kuf_c @ kuf_c.T, kuf_c @ wc, a_c
+        # _gram_outer: fp64 forward, f32-HIGHEST backward — saves ~0.4 s of
+        # emulated-fp64 dG@Kuf per feval at kin40k/M=2048 (PERF.md round 3)
+        return _gram_outer(kuf_c), kuf_c @ wc, a_c
 
     if chunk_size is None or N <= chunk_size:
         W_full = W if W is not None else jnp.zeros((N, 1), dtype=X.dtype)
