@@ -408,8 +408,11 @@ class Jax:
         size = cls.mesh_size
         if not size or size == 1:
             return None
-        from .parallel.mesh import data_mesh
+        from .parallel.mesh import data_mesh, maybe_initialize_distributed
 
+        # multi-host pods: bootstrap jax.distributed (env-gated no-op
+        # otherwise) BEFORE counting devices, so --mesh all spans every host
+        maybe_initialize_distributed()
         avail = len(jax.devices())
         if size == -1:
             size = avail
