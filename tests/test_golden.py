@@ -169,3 +169,35 @@ def test_golden_cglb_logdet_variants(snelson_fixed, variant, key):
     v0 = cglb.init_v0(X.shape[0])
     b, _ = cglb.bound(params, X, Y, v0, cfg, jitter=1e-6)
     np.testing.assert_allclose(float(b), GOLDEN[key], rtol=1e-8)
+
+
+def test_golden_trained_snelson_endpoint(snelson_fixed, monkeypatch, tmp_path):
+    """Trained-endpoint pin (VERDICT r2 #4): 300 scipy L-BFGS steps on the
+    snelson stand-in must land in the frozen optimum basin.  The trajectory
+    itself is platform-sensitive (L-BFGS line searches amplify last-bit
+    differences), so the pin is the ENDPOINT with a tolerance band, not the
+    path: cg_lower_bound -101.271 +- 0.1, test/rmse 0.4279 +- 0.01
+    (frozen from the round-3 run; scipy converges in ~190 iterations)."""
+    import numpy as np
+
+    from cglb_tpu.backend import Jax
+    from cglb_tpu.configs import CGLBConfig as CGLBCfg
+    from cglb_tpu.configs import InducingVariableConfig, Matern32Config
+    from cglb_tpu.experiments.datasets import get_dataset
+
+    monkeypatch.setenv("CGLB_DATA_DIR", str(tmp_path / "no_data_here"))
+    Jax.set_default_float("fp64")
+    Jax.set_seed(0)
+    bundle = get_dataset("snelson1d", dtype=np.float64)
+    assert bundle.synthetic
+    model = Jax.create_model(
+        CGLBCfg(Matern32Config(), InducingVariableConfig(30)), bundle.train,
+        seed=0,
+    )
+    Jax.optimize(model, bundle.to_tuple(), num_steps=300, optimizer="scipy")
+    metrics = Jax.metrics_fn(model, bundle.to_tuple())()
+    np.testing.assert_allclose(metrics["cg_lower_bound"], -101.2712, atol=0.1)
+    np.testing.assert_allclose(metrics["test/rmse"], 0.42786, atol=0.01)
+    # the bracket holds at the trained point
+    assert metrics["elbo"] <= metrics["cg_lower_bound"] + 1e-6
+    assert metrics["cg_lower_bound"] <= metrics["titsias_upper_bound"]
