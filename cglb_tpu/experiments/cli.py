@@ -89,11 +89,12 @@ class _Action:
             _HOLDOUT_INTERVAL,
             include_feval_log=True,
         )
-        backend.optimize(model, datasets, self.num_steps, logger,
-                         self.optimizer)
+        res = backend.optimize(model, datasets, self.num_steps, logger,
+                               self.optimizer)
         backend.save(model, logdir)
 
         meta = {"id": logdir, "data": self.dataset.provenance}
+        meta.update(getattr(res, "info", None) or {})
         dump_json({**metrics_fn(), **meta}, Path(logdir, "results.json"))
         dump_json({**logger.logs, **meta}, Path(logdir, "logs.json"))
 

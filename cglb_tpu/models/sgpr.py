@@ -206,31 +206,58 @@ def _kuf_block_df32(params: SGPRParams, Z, Xc):
     return var * rho
 
 
-@jax.custom_vjp
-def _gram_outer(kuf):
-    """G = Kuf Kuf^T with an fp64 forward and an f32-HIGHEST backward.
+# Forward algorithm for _gram_outer: "fp64" = native/emulated-fp64 matmul;
+# "int8" = exact fixed-point int8-limb MXU matmuls (ops/intgram); "auto"
+# (default) picks per backend at trace time.  Measured at [2048, 16384] on
+# v5e against a host-fp64 oracle (PERF.md): int8 is 22 ms at 3.1e-16 error
+# while XLA's emulated-fp64 dot is 229 ms at 8.7e-9 — int8 is both ~10x
+# faster AND the only fp64-grade option on TPU.  On CPU the native f64
+# matmul is exact and fast, so "auto" keeps it.
+GRAM_FORWARD = "auto"
 
-    The forward must hold fp64 (the AAT sandwich amplifies G errors by
-    kappa(L)^2; the 1e-10 AAT budget needs the emulated-fp64 matmul).  The
-    BACKWARD does not: dKuf = (dG + dG^T) Kuf only feeds gradient descent,
-    and its f32-HIGHEST evaluation (exact bf16x6 products, f32 accumulation
-    over the M=2048 contraction) carries ~3e-6 relative error — far below
-    any line-search sensitivity — while costing ~1/20 of the emulated-fp64
+
+def _gram_forward_algo():
+    if GRAM_FORWARD == "auto":
+        return "int8" if jax.default_backend() == "tpu" else "fp64"
+    return GRAM_FORWARD
+
+
+@jax.custom_vjp
+def _gram_outer(kuf, var):
+    """G = Kuf Kuf^T with an fp64-grade forward and an f32-HIGHEST backward.
+
+    The forward must hold fp64 grade (the AAT sandwich amplifies G errors by
+    kappa(L)^2; the 1e-10 AAT budget rules out plain-f32 matmuls): either
+    the emulated-fp64 matmul or the exact int8-limb scheme (GRAM_FORWARD;
+    ``var`` is the entry bound the fixed-point scaling needs — G itself does
+    not depend on it given kuf, so its cotangent is zero).  The BACKWARD
+    does not: dKuf = (dG + dG^T) Kuf only feeds gradient descent, and its
+    f32-HIGHEST evaluation (exact bf16x6 products, f32 accumulation over
+    the M=2048 contraction) carries ~3e-6 relative error — far below any
+    line-search sensitivity — while costing ~1/20 of the emulated-fp64
     matmul that dominated the backward pass (PERF.md round 3).  The
     ``common_dtype='float64'`` path never routes through here, so bitwise
     fp64 gradients remain available."""
+    if _gram_forward_algo() == "int8":
+        from ..ops.intgram import MAX_K, gram_exact_int8
+
+        # beyond MAX_K the int32 accumulators could overflow (globally, even
+        # under GSPMD sharding) — fall back to the emulated-fp64 matmul
+        if kuf.shape[1] <= MAX_K:
+            return gram_exact_int8(kuf, var)
     return kuf @ kuf.T
 
 
-def _gram_outer_fwd(kuf):
-    return _gram_outer(kuf), kuf
+def _gram_outer_fwd(kuf, var):
+    return _gram_outer(kuf, var), (kuf, var)
 
 
-def _gram_outer_bwd(kuf, dG):
+def _gram_outer_bwd(res, dG):
+    kuf, var = res
     sym = (dG + dG.T).astype(jnp.float32)
     dk = jnp.dot(sym, kuf.astype(jnp.float32),
                  precision=jax.lax.Precision.HIGHEST)
-    return (dk.astype(kuf.dtype),)
+    return dk.astype(kuf.dtype), jnp.zeros_like(var)
 
 
 _gram_outer.defvjp(_gram_outer_fwd, _gram_outer_bwd)
@@ -294,9 +321,14 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
             ) / sigma_cast
         else:
             a_c = jnp.zeros((M, 0), dtype=a_dtype)
-        # _gram_outer: fp64 forward, f32-HIGHEST backward — saves ~0.4 s of
-        # emulated-fp64 dG@Kuf per feval at kin40k/M=2048 (PERF.md round 3)
-        return _gram_outer(kuf_c), kuf_c @ wc, a_c
+        # _gram_outer: fp64-grade forward, f32-HIGHEST backward — saves
+        # ~0.4 s of emulated-fp64 dG@Kuf per feval at kin40k/M=2048
+        # (PERF.md round 3); var bounds the entries for the int8 forward
+        return (
+            _gram_outer(kuf_c, params.kernel.variance.value),
+            kuf_c @ wc,
+            a_c,
+        )
 
     if chunk_size is None or N <= chunk_size:
         W_full = W if W is not None else jnp.zeros((N, 1), dtype=X.dtype)

@@ -1,0 +1,107 @@
+"""Exact Gram matrix via fixed-point int8 limbs on the MXU.
+
+The mixed common-terms path needs G = Kuf Kuf^T at fp64 grade (the AAT
+sandwich amplifies G errors by kappa(L)^2; models/sgpr.py), but TPU fp64
+matmuls are emulated (~205 ms at [2048, 40960] — PERF.md).  f32 matmuls
+cannot substitute: the MXU's f32 accumulator floors the k-reduction error at
+~sqrt(k) * eps32 ~ 1e-5 relative.  **Integer matmuls have no such floor** —
+int8 x int8 products accumulate EXACTLY in int32.
+
+Scheme (kernel values are bounded: Kuf in [0, variance]):
+
+1. q = Kuf / s with s = 2^(floor(log2(var)) + 2), a power of two, so the
+   division is exact and q in [0, 0.5].
+2. N_q = round(q * 2^53): an exact 52-bit integer held in fp64 (q < 0.5);
+   only bits of q below 2^-53 * s round — the same absolute floor as fp64
+   itself.  Split N_q at the 28-bit boundary into two int32 halves (exact),
+   then slice eight 7-bit limbs u_m in [0, 127] with native int32
+   shifts/masks (7 * 4 = 28: the halves align with limb boundaries).
+3. q = 2^-53 * sum_m u_m 2^(7m), so
+   G = s^2 * 2^-106 * sum_{m,m'} 2^(7(m+m')) U_m U_{m'}^T.
+   Each U_m U_{m'}^T is an int8 MXU matmul accumulated exactly in int32
+   (products <= 127^2; k-sums exact for N <= ~130k — the chunked gram path
+   keeps k at ~16k).  Low-significance pairs (m + m' <= 5) are dropped:
+   their total is < N * 2^-52 s^2, i.e. below the fp64 matmul's own
+   rounding.  Symmetry (U_m U_m'^T = (U_m' U_m^T)^T) halves the count to
+   24 matmuls; each is scale-added into the fp64 G.
+
+Accuracy: matches the fp64 matmul to ~N * eps64 absolute (test-pinned
+against the fp64 oracle).  Gradients never flow through this function (its
+only consumer is the forward of models/sgpr._gram_outer, whose vjp is
+analytic).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["gram_exact_int8", "NUM_LIMBS", "MAX_K"]
+
+NUM_LIMBS = 8
+# int32 accumulation bound: 127^2 * k < 2^31  =>  k < 133k; callers above
+# this must chunk the contraction dimension (the gram path always does)
+MAX_K = 130_000
+
+
+def _pow2_scale(var):
+    """Power of two with var / scale in (0.25, 0.5]."""
+    e = jnp.floor(jnp.log2(var)) + 2.0
+    return jnp.exp2(e)
+
+
+def _limb_planes(kuf, s):
+    """Eight int8 limb planes of round(kuf / s * 2^53) (exact extraction)."""
+    q = kuf / s  # exact: power-of-two scale
+    # guard: kernel entries are mathematically nonnegative, but a -1e-30
+    # from rounding would corrupt the int shifts below
+    q = jnp.maximum(q, 0.0)
+    nq = jnp.round(q * np.float64(2.0**53))  # exact 52-bit integer in fp64
+    hi = jnp.floor(nq * np.float64(2.0**-28))
+    lo = nq - hi * np.float64(2.0**28)
+    hi32 = hi.astype(jnp.int32)  # bits 28..52
+    lo32 = lo.astype(jnp.int32)  # bits 0..27
+    planes = []
+    for m in range(NUM_LIMBS):
+        base = 7 * m
+        if base >= 28:
+            plane = jnp.right_shift(hi32, base - 28) & 127
+        else:
+            plane = jnp.right_shift(lo32, base) & 127
+        planes.append(plane.astype(jnp.int8))
+    return planes
+
+
+def gram_exact_int8(kuf, var):
+    """G = kuf @ kuf.T to fp64 grade via exact int8-limb MXU matmuls.
+
+    kuf: [M, N] fp64 kernel cross-covariance, entries in [0, var], with
+    N <= MAX_K (callers chunk the contraction beyond that).
+    var: kernel variance (traced scalar), the entry bound."""
+    if kuf.shape[1] > MAX_K:
+        raise ValueError(
+            f"contraction dim {kuf.shape[1]} overflows the int32 "
+            f"accumulator; chunk to <= {MAX_K}"
+        )
+    s = _pow2_scale(var).astype(kuf.dtype)
+    planes = _limb_planes(kuf, s)
+
+    M = kuf.shape[0]
+    G = jnp.zeros((M, M), dtype=kuf.dtype)
+    s2 = s * s
+    for m in range(NUM_LIMBS):
+        for mp in range(m, NUM_LIMBS):
+            if m + mp <= 5:
+                continue  # below the fp64 rounding floor (module docstring)
+            P = jax.lax.dot_general(
+                planes[m], planes[mp],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            if m != mp:
+                P = P + P.T  # |entries| <= 2 * 127^2 * N: still exact int32
+            G = G + (s2 * np.float64(2.0 ** (7 * (m + mp) - 106))) * (
+                P.astype(kuf.dtype)
+            )
+    return G

@@ -94,10 +94,15 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
     kuf = _cshard(mesh, kuf, P(None, DATA_AXIS))
     sigma = jnp.sqrt(params.noise_variance.value)
     if gram:
-        # _gram_outer: fp64 forward, f32-HIGHEST backward — same custom vjp
-        # as the single-device gram path (models/sgpr.py), so gradients stay
-        # layout-independent and the emulated-fp64 dG @ Kuf never runs
-        G = _cshard(mesh, _sgpr._gram_outer(kuf), P())  # partials + psum
+        # _gram_outer: fp64-grade forward, f32-HIGHEST backward — same
+        # custom vjp as the single-device gram path (models/sgpr.py), so
+        # gradients stay layout-independent and the emulated-fp64 dG @ Kuf
+        # never runs
+        G = _cshard(
+            mesh,
+            _sgpr._gram_outer(kuf, params.kernel.variance.value),
+            P(),
+        )  # per-shard partials + psum
         AAT = _sgpr._aat_sandwich(L, G, sigma)
         A = jax.scipy.linalg.solve_triangular(
             L.astype(a_dtype), kuf.astype(a_dtype), lower=True

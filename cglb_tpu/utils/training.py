@@ -44,6 +44,10 @@ class OptimizeResult(NamedTuple):
     state: Any          # final carry (e.g. CGLB aux with warm-start v)
     num_iters: int
     final_loss: float
+    # optimizer-specific diagnostics (scipy: per-attempt status/message/nit/
+    # nfev + penalty-feval count) — surfaced into results.json so early
+    # terminations of L-BFGS-B are observable from run artifacts
+    info: dict = {}
 
 
 def _jit_value_and_grad(loss_fn: LossFn):
@@ -113,6 +117,8 @@ def scipy_minimize(
         "unflatten": _fl.make_unflatten(params),
         "x": None,
         "x_good": None,  # last finite-loss iterate (penalty-bowl center)
+        "nfev": 0,
+        "penalty_fevals": 0,
     }
 
     # Non-finite losses (extreme line-search probes: CG divergence, cholesky
@@ -125,6 +131,7 @@ def scipy_minimize(
     _PENALTY = 1e12
 
     def fun(x):
+        holder["nfev"] += 1
         p = holder["unflatten"](x)
         (loss, new_state), grads = vg(p, holder["state"], *data)
         holder["params"] = p
@@ -134,6 +141,7 @@ def scipy_minimize(
             logger.log_for_feval(**feval_stats_fn(new_state))
         loss_f = float(loss)
         if not np.isfinite(loss_f):
+            holder["penalty_fevals"] += 1
             xg = holder["x_good"]
             dx = x - xg if xg is not None else np.zeros_like(x)
             f = _PENALTY * (1.0 + float(dx @ dx))
@@ -160,6 +168,7 @@ def scipy_minimize(
 
     total_iters = 0
     remaining = num_steps
+    attempt_log = []
     for attempt in range(attempts):
         if remaining <= 0:
             break
@@ -179,6 +188,12 @@ def scipy_minimize(
         )
         total_iters += int(res.nit)
         remaining -= int(res.nit)
+        attempt_log.append({
+            "status": int(res.status),
+            "message": str(res.message),
+            "nit": int(res.nit),
+            "nfev": int(res.nfev),
+        })
         # refresh loss/state at the accepted point — but only when scipy's
         # final feval wasn't already there (an extra timed objective
         # evaluation per attempt is wasted wall-clock otherwise)
@@ -193,6 +208,12 @@ def scipy_minimize(
         state=holder["state"],
         num_iters=total_iters,
         final_loss=holder["loss"],
+        info={
+            "opt/num_iters": total_iters,
+            "opt/num_fevals": holder["nfev"],
+            "opt/penalty_fevals": holder["penalty_fevals"],
+            "opt/attempts": attempt_log,
+        },
     )
 
 

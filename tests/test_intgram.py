@@ -1,0 +1,78 @@
+"""Exactness tests for the int8-limb Gram (ops/intgram)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cglb_tpu.ops import intgram
+
+
+@pytest.mark.parametrize("var", [1.0, 1.7, 0.03, 1234.5])
+def test_gram_int8_matches_fp64_matmul(rng, var):
+    """G_int8 == Kuf Kuf^T to ~N*eps64 absolute, across variance scales."""
+    m, n = 40, 700
+    # kernel-like entries: nonnegative, bounded by var, many tiny values
+    q = rng.uniform(0, 1, size=(m, n)) ** 3
+    kuf = jnp.asarray(var * q)
+    want = np.asarray(kuf @ kuf.T)
+    got = np.asarray(intgram.gram_exact_int8(kuf, jnp.asarray(var)))
+    scale = n * var * var
+    err = np.max(np.abs(got - want)) / scale
+    assert err < 1e-14, err
+
+
+def test_gram_int8_exact_on_representable_values(rng):
+    """Values with <= 28 significant bits reconstruct G bit-exactly."""
+    m, n = 16, 256
+    q = np.round(rng.uniform(0, 1, size=(m, n)) * 2**20) / 2**22
+    kuf = jnp.asarray(q)
+    want = np.asarray(kuf @ kuf.T)
+    got = np.asarray(intgram.gram_exact_int8(kuf, jnp.asarray(1.0)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_gram_int8_jittable_and_zero_safe(rng):
+    kuf = jnp.zeros((8, 64), dtype=jnp.float64)
+    got = jax.jit(intgram.gram_exact_int8)(kuf, jnp.asarray(2.0))
+    np.testing.assert_array_equal(np.asarray(got), 0.0)
+
+
+def test_gram_int8_rejects_overflow_k():
+    kuf = jnp.zeros((2, intgram.MAX_K + 1), dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        intgram.gram_exact_int8(kuf, jnp.asarray(1.0))
+
+
+def test_gram_terms_int8_forward_matches_fp64(rng, monkeypatch):
+    """The whole mixed common-terms path under GRAM_FORWARD='int8' matches
+    the fp64-matmul forward to fp64 grade (value AND gradients)."""
+    from cglb_tpu.models import sgpr
+    from cglb_tpu.ops import kernels as k
+
+    n, d, m = 500, 3, 32
+    X = rng.normal(size=(n, d))
+    Y = np.tanh(X @ rng.normal(size=(d, 1))) + 0.1 * rng.normal(size=(n, 1))
+    kern = k.make_kernel("Matern32", d, variance=1.3, lengthscales=0.8,
+                         dtype=np.float64)
+    Z = X[rng.choice(n, m, replace=False)]
+    params = sgpr.SGPRParams.create(kern, Z, noise_variance=0.4,
+                                    dtype=np.float64)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    e_fp64 = float(sgpr.elbo(params, Xj, Yj, mixed=True))
+    g_fp64 = jax.grad(lambda p: sgpr.elbo(p, Xj, Yj, mixed=True))(params)
+    monkeypatch.setattr(sgpr, "GRAM_FORWARD", "int8")
+    e_int8 = float(sgpr.elbo(params, Xj, Yj, mixed=True))
+    g_int8 = jax.grad(lambda p: sgpr.elbo(p, Xj, Yj, mixed=True))(params)
+    np.testing.assert_allclose(e_int8, e_fp64, rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fp64),
+                    jax.tree_util.tree_leaves(g_int8)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.max(np.abs(a)), 1e-12)
+        # the custom backward is shared (f32-HIGHEST); only the forward's
+        # last-bit G differences flow into the solve-dependent grads
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-9)
+    # chunked path too
+    e_int8_c = float(sgpr.elbo(params, Xj, Yj, mixed=True))
+    np.testing.assert_allclose(e_int8_c, e_fp64, rtol=1e-12)

@@ -275,7 +275,7 @@ def test_gram_outer_custom_backward_close_to_fp64(rng):
     W = jnp.asarray(rng.normal(size=(24, 24)))
 
     def f_custom(k_):
-        return jnp.sum(W * sgpr._gram_outer(k_))
+        return jnp.sum(W * sgpr._gram_outer(k_, jnp.asarray(1.5)))
 
     def f_exact(k_):
         return jnp.sum(W * (k_ @ k_.T))

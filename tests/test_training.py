@@ -64,6 +64,12 @@ def test_scipy_minimize_reduces_sgpr_loss(rng):
     res = training.scipy_minimize(loss_fn, params, None, num_steps=40)
     assert res.final_loss < l0 - 1.0
     assert res.num_iters > 0
+    # scipy diagnostics surfaced for run artifacts (results.json)
+    assert res.info["opt/num_iters"] == res.num_iters
+    assert res.info["opt/num_fevals"] >= res.num_iters
+    assert res.info["opt/penalty_fevals"] == 0
+    for a in res.info["opt/attempts"]:
+        assert {"status", "message", "nit", "nfev"} <= set(a)
 
 
 def test_scipy_minimize_cglb_with_warm_start(rng):
