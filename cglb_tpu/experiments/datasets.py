@@ -95,17 +95,38 @@ def _load_local(name: str):
 
 def _synthetic(name: str, seed: int = 0):
     """Deterministic GP-flavored synthetic data with dataset-faithful shapes."""
+    hard = False
     if name == "snelson1d":
         n, dim = 200, 1
     elif name in DATASET_SHAPES:
         n, dim = DATASET_SHAPES[name]
     else:
-        m = re.fullmatch(r"synth_(\d+)x(\d+)", name)
+        m = re.fullmatch(r"synth_(\d+)x(\d+)(_hard)?", name)
         if not m:
             raise KeyError(name)
         n, dim = int(m.group(1)), int(m.group(2))
+        hard = bool(m.group(3))
     rng = np.random.default_rng(seed + n + dim)
     X = rng.normal(size=(n, dim))
+    if hard:
+        # protocol-length stand-in: the plain generator below converges to
+        # its noise floor in ~15 L-BFGS iterations at kin40k scale (scipy
+        # stops with a legitimate CONVERGENCE status long before the
+        # reference's 2000-step budget — PERF.md "Protocol-length run").
+        # This variant keeps hyperparameter learning active much longer:
+        # multi-scale random-feature banks (frequencies spanning ~30x) over
+        # per-dimension relevance weights (so the ARD lengthscales must
+        # separate), plus 5% observation noise.
+        nf = 64
+        rel = np.geomspace(0.3, 3.0, dim)
+        signal = np.zeros((n, 1))
+        for scale, amp in ((0.25, 1.0), (1.0, 0.6), (4.0, 0.35)):
+            W = rng.normal(size=(dim, nf)) * (rel / np.sqrt(dim))[:, None] / scale
+            b = rng.uniform(0, 2 * np.pi, size=(nf,))
+            w2 = rng.normal(size=(nf, 1)) / np.sqrt(nf)
+            signal = signal + amp * np.sqrt(2.0) * np.cos(X @ W + b) @ w2
+        Y = signal + 0.05 * np.std(signal) * rng.normal(size=(n, 1))
+        return X, Y
     # smooth nonlinear target: random-feature GP sample + noise.  The noise
     # level is deliberately UCI-like (~25% of signal variance after z-scoring)
     # — near-noiseless stand-ins let large-M models interpolate and drive the

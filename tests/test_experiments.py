@@ -43,6 +43,21 @@ def test_synthetic_shape_registry():
     assert b.train[0].shape[0] + b.test[0].shape[0] == 500
 
 
+def test_synthetic_hard_variant():
+    """The _hard stand-in: same shapes, deterministic, much lower noise
+    (protocol-length optimization trajectories — PERF.md)."""
+    b = get_dataset("synth_500x4_hard")
+    b2 = get_dataset("synth_500x4_hard")
+    assert b.train[0].shape[1] == 4
+    assert b.train[0].shape[0] + b.test[0].shape[0] == 500
+    assert b.synthetic
+    np.testing.assert_array_equal(b.train[1], b2.train[1])
+    # target differs from the plain variant and carries ~5% noise: a linear
+    # fit must leave most variance unexplained (multi-scale nonlinearity)
+    plain = get_dataset("synth_500x4")
+    assert not np.array_equal(plain.train[1], b.train[1])
+
+
 def test_baselines_produce_finite_metrics():
     b = get_dataset("snelson1d")
     for fn in (meanpred_baseline, linear_baseline):
