@@ -46,9 +46,17 @@ MAX_K = 130_000
 
 
 def _pow2_scale(var):
-    """Power of two with var / scale in (0.25, 0.5]."""
+    """Power of two with var / scale in (0.25, 0.5].
+
+    ldexp, not exp2: XLA's exp2 is a polynomial approximation even at
+    integer arguments (~1e-6 relative — PERF.md platform quirks), which
+    would make s fractionally off a power of two; ldexp is exact bit
+    manipulation.  (An off-by-one in floor(log2 .) near power-of-two
+    variances is harmless either way: the limb planes carry 56 bits for a
+    53-bit payload, so q in (0.125, 1] all reconstruct exactly.)"""
     e = jnp.floor(jnp.log2(var)) + 2.0
-    return jnp.exp2(e)
+    one = jnp.ones((), dtype=var.dtype)
+    return jnp.ldexp(one, e.astype(jnp.int32))
 
 
 def _limb_planes(kuf, s):
