@@ -51,12 +51,16 @@ def _pow2_scale(var):
     ldexp, not exp2: XLA's exp2 is a polynomial approximation even at
     integer arguments (~1e-6 relative — PERF.md platform quirks), which
     would make s fractionally off a power of two; ldexp is exact bit
-    manipulation.  (An off-by-one in floor(log2 .) near power-of-two
-    variances is harmless either way: the limb planes carry 56 bits for a
-    53-bit payload, so q in (0.125, 1] all reconstruct exactly.)"""
+    manipulation.  It runs in f32 (exact for every power of two in
+    [2^-126, 2^127], far beyond any reachable variance) and upcasts,
+    because fp64 ldexp lowers through an s64 bitcast that the TPU
+    X64-rewriting pass rejects.  (An off-by-one in floor(log2 .) near
+    power-of-two variances is harmless either way: the limb planes carry
+    56 bits for a 53-bit payload, so q in (0.125, 1] all reconstruct
+    exactly.)"""
     e = jnp.floor(jnp.log2(var)) + 2.0
-    one = jnp.ones((), dtype=var.dtype)
-    return jnp.ldexp(one, e.astype(jnp.int32))
+    one = jnp.ones((), dtype=jnp.float32)
+    return jnp.ldexp(one, e.astype(jnp.int32)).astype(var.dtype)
 
 
 def _limb_planes(kuf, s):
