@@ -57,6 +57,7 @@ int cglb_conditional_variance(const double* Xs, int64_t N, int64_t D,
   }
 
   std::vector<double> di(static_cast<size_t>(N));
+  std::vector<double> kcol(static_cast<size_t>(N));
   const double kdiag = variance;  // stationary kernels: k(x,x) = variance
   for (int64_t i = 0; i < N; ++i) di[i] = kdiag + jitter;
 
@@ -78,7 +79,9 @@ int cglb_conditional_variance(const double* Xs, int64_t N, int64_t D,
     const double* xj = Xs + j * D;
     const double* cj = ciT.data() + j * R;  // previous pivot row at column j
 
-// kernel column + projection + downdate, parallel over rows
+// pass 1: kernel column.  A separate loop so the exp/sqrt scoring pass
+// auto-vectorizes (libmvec under -Ofast; the projection loop below has a
+// variable-trip inner dot that would otherwise keep the exp scalar).
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < N; ++i) {
       const double* xi = Xs + i * D;
@@ -87,13 +90,18 @@ int cglb_conditional_variance(const double* Xs, int64_t N, int64_t D,
         const double diff = xi[d] - xj[d];
         d2 += diff * diff;
       }
-      double kij = kernel_value(family, variance, d2);
-      if (i == j) kij += jitter;
+      kcol[i] = kernel_value(family, variance, d2);
+    }
+    kcol[j] += jitter;
+
+// pass 2: projection + downdate, parallel over rows
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < N; ++i) {
       // subtract sum_m' c_m',i * c_m',j over previous pivots (contiguous)
       double* ci_row = ciT.data() + i * R;
       double proj = 0.0;
       for (int64_t mp = 0; mp < m; ++mp) proj += ci_row[mp] * cj[mp];
-      const double e = (kij - proj) / dj;
+      const double e = (kcol[i] - proj) / dj;
       ci_row[m] = e;
       double dnew = di[i] - e * e;
       di[i] = dnew > 0.0 ? dnew : 0.0;
