@@ -227,19 +227,23 @@ def adam_minimize(
     data: tuple = (),
     sync_fn: Callable[[Any, Any], None] = None,
 ) -> OptimizeResult:
-    """On-device Adam loop; one jitted step reused for all iterations."""
+    """On-device Adam loop.
+
+    Two jits per step, not one fused graph: the value_and_grad graph is the
+    SAME program the scipy bridge compiles (shared compile cache — at
+    kin40k/M=2048 the fused loss+grad+update variant is large enough that
+    the remote TPU compile helper was OOM-killed compiling it), and the
+    optimizer update is a tiny second dispatch (~10s of ms over the remote
+    tunnel, <3% of a feval)."""
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
+    vg = _jit_value_and_grad(loss_fn)
 
     @jax.jit
-    def step(params, opt_state, carry, *data_):
-        (loss, new_carry), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, carry, *data_
-        )
+    def apply_update(params, opt_state, grads):
         grads = _fl.mask_untrainable_grads(params, grads)
         updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, new_carry, loss
+        return optax.apply_updates(params, updates), opt_state
 
     if logger is not None:
         logger.timer.reset()
@@ -247,7 +251,8 @@ def adam_minimize(
 
     loss = np.inf
     for i in range(num_steps):
-        params, opt_state, state, loss = step(params, opt_state, state, *data)
+        (loss, state), grads = vg(params, state, *data)
+        params, opt_state = apply_update(params, opt_state, grads)
         if logger is not None:
             if sync_fn is not None:
                 sync_fn(params, state)
