@@ -31,6 +31,7 @@ import jax.scipy.linalg as jsl
 from ..struct import pytree_dataclass
 from ..transforms import Param
 from ..ops import kernels as _k
+from ..ops.chol64 import chol_inv, chol_inv_retry
 from .gaussian import ConstantMean, mean_apply, predict_log_density
 
 __all__ = [
@@ -113,6 +114,19 @@ def _kuu_chol(params: SGPRParams, jitter: float):
         lambda: L1,
         lambda: jnp.linalg.cholesky(kuu + (1000.0 * jitter) * eye),
     )
+
+
+def _kuu_chol_inv(params: SGPRParams, jitter: float):
+    """(L, L^-1) for chol(Kuu + jitter I) with the same 1000x-jitter retry as
+    _kuu_chol, via the fused ops/chol64 primitive: ONE cholesky expander
+    instance, a matmul-only backward, and the explicit inverse that lets the
+    gram path replace every downstream fp64 trisolve with a matmul (each
+    avoided fp64 [M, M] expander instance saves ~22-30 s of TPU compile —
+    PERF.md "Cold compile").  The mixed/gram paths use this; the
+    common_dtype='float64' reference-parity path keeps _kuu_chol's native
+    autodiff."""
+    kuu = _k.K(params.kernel, params.inducing_Z.value)
+    return chol_inv_retry(kuu, jitter)
 
 
 # above this many Kuf elements the chunked path kicks in automatically: fp64
@@ -277,7 +291,7 @@ def _aat_sandwich(L, G, sigma_scale):
 
 def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
                 chunk_size: int = None, a_dtype=jnp.float32,
-                with_a: bool = True):
+                with_a: bool = True, Cinv=None):
     """Mixed-mode fast path: the O(N M^2) work never runs through TPU's
     emulated-fp64 triangular solve.
 
@@ -299,6 +313,18 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     ~eps64 kappa(L)^2 instead of the trisolve's eps64 kappa(L); with the
     1e-6 jitter floor that is <=1e-10 relative on AAT — validated against
     the trisolve path in tests.
+
+    Cinv: optional fp64 L^-1 (from _kuu_chol_inv).  When given, every
+    triangular solve here becomes a matmul against Cinv: AAT = Cinv G
+    Cinv^T (same eps64 kappa(L)^2 envelope as the sandwich — Cinv is the
+    backward-stable solve against I), AW = Cinv U, and A = (Cinv @ kuf) in
+    a_dtype at HIGHEST precision (error eps32 ||Cinv|| ||Kuf|| <= the f32
+    trisolve's eps32 kappa(L) ||A|| bound, because Cinv itself is fp64-
+    accurate — unlike the f32-computed explicit inverse that once made the
+    Woodbury preconditioner indefinite).  Motivation is COMPILE time as much
+    as runtime: each avoided fp64 [M, M] trisolve expander instance (and
+    each trisolve the chol/solve VJPs would add to the backward) costs
+    ~22-30 s of XLA compile on TPU (PERF.md "Cold compile").
     """
     import jax
 
@@ -309,13 +335,16 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
         chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
 
-    L_cast = L.astype(a_dtype)
+    L_cast = (Cinv if Cinv is not None else L).astype(a_dtype)
     sigma_cast = sigma_scale.astype(a_dtype)
     d_w = W.shape[1] if W is not None else 1
 
     def chunk_part(xc, mask, wc):
         kuf_c = _kuf_block_df32(params, Z, xc) * mask[None, :]
-        if with_a:
+        if with_a and Cinv is not None:
+            a_c = jnp.dot(L_cast, kuf_c.astype(a_dtype),
+                          precision=jax.lax.Precision.HIGHEST) / sigma_cast
+        elif with_a:
             a_c = jsl.solve_triangular(
                 L_cast, kuf_c.astype(a_dtype), lower=True
             ) / sigma_cast
@@ -353,10 +382,17 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
         A = jnp.moveaxis(A_stack, 0, 1).reshape(M, -1)[:, :N] if with_a \
             else None
 
-    AAT = _aat_sandwich(L, G, sigma_scale)
+    if Cinv is not None:
+        AAT = (Cinv @ G @ Cinv.T) / (sigma_scale * sigma_scale)
+        AAT = 0.5 * (AAT + AAT.T)
+    else:
+        AAT = _aat_sandwich(L, G, sigma_scale)
     AW = None
     if W is not None:
-        AW = jsl.solve_triangular(L, U, lower=True) / sigma_scale
+        if Cinv is not None:
+            AW = (Cinv @ U) / sigma_scale
+        else:
+            AW = jsl.solve_triangular(L, U, lower=True) / sigma_scale
     if not with_a:
         A = None
     return A, AAT, AW
@@ -419,22 +455,28 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
     jitter = jitter if jitter is not None else _config.default_jitter()
     Z = params.inducing_Z.value
     M = Z.shape[0]
-    L = _kuu_chol(params, jitter)
     sigma = jnp.sqrt(params.noise_variance.value)
     gram = mixed if gram is None else gram
     if mixed and gram:
+        # fused chol+inverse (ops/chol64): matmul-only backward, and Cinv
+        # turns every downstream trisolve into a matmul — together this cut
+        # the loss+grad cold compile from ~300 s (PERF.md "Cold compile")
+        L, Cinv = _kuu_chol_inv(params, jitter)
         A, AAT, _ = _gram_terms(params, L, X, sigma, chunk_size=chunk_size,
-                                a_dtype=a_dtype)
+                                a_dtype=a_dtype, Cinv=Cinv)
+        B = AAT + jnp.eye(M, dtype=Z.dtype)
+        LB, _ = chol_inv(B)
     else:
         # fp64 chunked solves/AAT (df32 kernel build when mixed).  Full-f32
         # solves were tried and go unstable when sigma^2 shrinks
         # (||AAT|| ~ 1/sigma^2 makes the f32 accumulation noise exceed B's
         # unit eigenvalues -> NaN cholesky); plain-f32 kernel values lose
         # ~3e-4 on the bound (round 1).
+        L = _kuu_chol(params, jitter)
         A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size,
                                kernel_df32=mixed)
-    B = AAT + jnp.eye(M, dtype=Z.dtype)
-    LB = jnp.linalg.cholesky(B)
+        B = AAT + jnp.eye(M, dtype=Z.dtype)
+        LB = jnp.linalg.cholesky(B)
     return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
 
 
@@ -453,14 +495,18 @@ def elbo(params: SGPRParams, X, Y, jitter: float = None,
     M = params.num_inducing
     sigma_sq = params.noise_variance.value
     sigma = jnp.sqrt(sigma_sq)
-    L = _kuu_chol(params, jitter)
     # A, AAT, and A@err in one chunked pass (bounded fp64 temps at scale)
     if mixed:
-        _, AAT, Aerr = _gram_terms(params, L, X, sigma, W=err, with_a=False)
+        L, Ci = _kuu_chol_inv(params, jitter)
+        _, AAT, Aerr = _gram_terms(params, L, X, sigma, W=err, with_a=False,
+                                   Cinv=Ci)
+        LB, CB = chol_inv(AAT + jnp.eye(M, dtype=X.dtype))
+        c = (CB @ Aerr) / sigma
     else:
+        L = _kuu_chol(params, jitter)
         _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
-    LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
-    c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
+        LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
+        c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
 
     bound = -0.5 * N * D * math.log(2.0 * math.pi)
     bound -= D * jnp.sum(jnp.log(jnp.diagonal(LB)))
@@ -487,14 +533,17 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None,
     sigma_sq = params.noise_variance.value
     eye_m = jnp.eye(M, dtype=Z.dtype)
 
-    L = _kuu_chol(params, jitter)
     err = Y - mean_apply(params.mean, X)
     one = jnp.ones((), dtype=X.dtype)
     if mixed:
-        _, AAT0, A0err = _gram_terms(params, L, X, one, W=err, with_a=False)
+        L, Ci = _kuu_chol_inv(params, jitter)
+        _, AAT0, A0err = _gram_terms(params, L, X, one, W=err, with_a=False,
+                                     Cinv=Ci)
+        LB, _ = chol_inv(eye_m + AAT0 / sigma_sq)
     else:
+        L = _kuu_chol(params, jitter)
         _, AAT0, A0err = _kuf_terms(params, L, X, one, W=err)
-    LB = jnp.linalg.cholesky(eye_m + AAT0 / sigma_sq)
+        LB = jnp.linalg.cholesky(eye_m + AAT0 / sigma_sq)
 
     # Trace slack: c = tr(Kff) - tr(Qff) >= 0 inflates the noise.  The
     # subtraction cancels catastrophically as Q -> K at large M (the same
@@ -510,8 +559,12 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None,
     const = -0.5 * N * jnp.log(2.0 * math.pi * sigma_sq)
     logdet = -jnp.sum(jnp.log(jnp.diagonal(LB)))
 
-    LC = jnp.linalg.cholesky(eye_m + AAT0 / corrected_noise)
-    v = jsl.solve_triangular(LC, A0err / corrected_noise, lower=True)
+    if mixed:
+        _, CC = chol_inv(eye_m + AAT0 / corrected_noise)
+        v = CC @ (A0err / corrected_noise)
+    else:
+        LC = jnp.linalg.cholesky(eye_m + AAT0 / corrected_noise)
+        v = jsl.solve_triangular(LC, A0err / corrected_noise, lower=True)
     quad = -0.5 * jnp.sum(jnp.square(err)) / corrected_noise + 0.5 * jnp.sum(
         jnp.square(v)
     )
@@ -539,13 +592,17 @@ def predict_prepare(params: SGPRParams, X, Y, jitter: float = None,
     err = Y - mean_apply(params.mean, X)
     sigma = jnp.sqrt(params.noise_variance.value)
     M = params.num_inducing
-    L = _kuu_chol(params, jitter)
     if mixed:
-        _, AAT, Aerr = _gram_terms(params, L, X, sigma, W=err, with_a=False)
+        L, Ci = _kuu_chol_inv(params, jitter)
+        _, AAT, Aerr = _gram_terms(params, L, X, sigma, W=err, with_a=False,
+                                   Cinv=Ci)
+        LB, CB = chol_inv(AAT + jnp.eye(M, dtype=X.dtype))
+        c = (CB @ Aerr) / sigma
     else:
+        L = _kuu_chol(params, jitter)
         _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
-    LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
-    c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
+        LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
+        c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
     return SGPRPredictCache(c=c, L=L, LB=LB)
 
 

@@ -1,0 +1,144 @@
+"""Fused fp64 Cholesky primitives whose backward passes are pure matmuls.
+
+Why this module exists (measured on v5e, kin40k shapes, PERF.md "Cold
+compile"): every fp64 [M, M] ``cholesky`` / ``triangular_solve`` HLO the
+TPU pipeline sees costs ~22-30 s of XLA COMPILE time, independent of graph
+context — a bare fp64 [2048, 2048] cholesky (24 StableHLO lines) compiles
+in 21.7 s.  The expander lowers it to blocked while-loops, the X64 rewriter
+then splits every fp64 op into f32x2 pairs, and the optimization pipeline
+grinds on the result.  Worse, the standard chol/trisolve VJPs insert MORE
+expander instances into the backward graph, which is how the CGLB loss+grad
+reached a 300 s cold compile (~6 forward + ~8 backward instances).
+
+The fix: factor once, invert once, and never solve again.
+
+    chol_inv(P)        -> (L, C)   L = chol(P), C = L^-1
+    chol_inv_retry(P,j) -> (L, C)  same, with the 1000x-jitter retry folded
+                                   into ONE cholesky instance (lax.while_loop)
+
+With the explicit fp64 triangular inverse C in hand, every downstream
+"solve with L" is a matmul (C @ rhs), and — the key part — the Cholesky VJP
+itself needs only matmuls:
+
+    P_bar = 0.5 C^T (Phi + Phi^T) C,   Phi = phi(L^T L_bar),
+
+(phi = lower triangle with halved diagonal; Murray 2016, "Differentiation
+of the Cholesky decomposition", eq. 8 — the L^-1 factors usually applied by
+trisolves are exactly C).  The inverse output's cotangent folds in as
+L_bar += -C^T C_bar C^T.  So each fused call costs exactly TWO expander
+instances (chol + the one trisolve producing C) and ZERO in the backward.
+
+Numerics: C carries eps64*kappa(L) relative error (backward-stable solve
+against I), so C-based products inherit the same eps64*kappa^2 envelope as
+the trisolve sandwich they replace (models/sgpr._gram_terms docstring);
+with the 1e-6 jitter floor that is <=1e-10 relative on AAT — asserted
+against the trisolve path in tests/test_chol64.py.  Runtime is a wash or
+better: an emulated-fp64 [M, M] trisolve is ~3x the cost of the equal-FLOPs
+emulated matmul (PERF.md), and the backward loses all its trisolves.
+
+Gradient convention: ``jnp.linalg.cholesky`` reads only the lower triangle
+but JAX's JVP symmetrizes the tangent, making the VJP cotangent symmetric;
+we return the symmetrized P_bar, which matches ``jax.grad`` of the native
+op to fp64 roundoff for symmetric inputs (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+from jax import lax
+
+__all__ = ["chol_inv", "chol_inv_retry"]
+
+
+def _phi(X):
+    """Lower triangle with halved diagonal (the Cholesky-derivative mask)."""
+    return jnp.tril(X) - 0.5 * jnp.diag(jnp.diagonal(X))
+
+
+def _chol_bwd_matmul(L, C, dL, dC):
+    """Shared backward: cotangents (dL, dC) -> symmetric dP, matmuls only."""
+    gL = dL - C.T @ (dC @ C.T)  # C = L^-1: <dC, -C dL C> = <-C^T dC C^T, dL>
+    Phi = _phi(L.T @ gL)
+    Pbar = C.T @ (0.5 * (Phi + Phi.T)) @ C
+    return Pbar
+
+
+@jax.custom_vjp
+def chol_inv(P):
+    """(chol(P), chol(P)^-1) with a matmul-only VJP.
+
+    The inverse is computed by ONE fp64 triangular solve against I; callers
+    that only consume L (no grad) get the solve DCE'd by XLA."""
+    L = jnp.linalg.cholesky(P)
+    C = jsl.solve_triangular(L, jnp.eye(P.shape[0], dtype=P.dtype),
+                             lower=True)
+    return L, C
+
+
+def _chol_inv_fwd(P):
+    out = chol_inv(P)
+    return out, out
+
+
+def _chol_inv_bwd(res, cot):
+    L, C = res
+    dL, dC = cot
+    return (_chol_bwd_matmul(L, C, dL, dC),)
+
+
+chol_inv.defvjp(_chol_inv_fwd, _chol_inv_bwd)
+
+
+def chol_inv_retry(P, jitter: float):
+    """(L, C) for chol(P + jitter*I), retrying once at 1000x jitter if the
+    factorization goes non-finite (clustered inducing points mid-
+    optimization; same two-attempt policy as models/sgpr._kuu_chol had).
+
+    The retry lives in a ``lax.while_loop`` so the graph contains exactly
+    ONE cholesky expander instance instead of two cond branches — the
+    lax.cond version cost an extra ~25 s of TPU compile.  custom_vjp makes
+    the while_loop reverse-differentiable: the gradient is that of a single
+    factorization at the jitter that was actually used (the same as the old
+    cond-based gradient through the selected branch)."""
+    return _chol_inv_retry(P, float(jitter))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _chol_inv_retry(P, jitter):
+    M = P.shape[0]
+    eye = jnp.eye(M, dtype=P.dtype)
+
+    def body(carry):
+        jmul, _ = carry
+        L = jnp.linalg.cholesky(P + (jmul * jitter) * eye)
+        ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+        # negative jmul marks success; cond() then exits
+        return jnp.where(ok, -jmul, jmul * 1000.0), L
+
+    def cond(carry):
+        jmul, _ = carry
+        return (jmul > 0) & (jmul <= 1000.0)
+
+    _, L = lax.while_loop(
+        cond, body, (jnp.asarray(1.0, P.dtype), jnp.zeros_like(P))
+    )
+    C = jsl.solve_triangular(L, eye, lower=True)
+    return L, C
+
+
+def _chol_inv_retry_fwd(P, jitter):
+    out = _chol_inv_retry(P, jitter)
+    return out, out
+
+
+def _chol_inv_retry_bwd(jitter, res, cot):
+    L, C = res
+    dL, dC = cot
+    return (_chol_bwd_matmul(L, C, dL, dC),)
+
+
+_chol_inv_retry.defvjp(_chol_inv_retry_fwd, _chol_inv_retry_bwd)

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import cglb as _cglb
 from ..models import sgpr as _sgpr
+from ..ops import chol64 as _chol64
 from ..models.cglb import CGLBAux, CGLBConfig
 from ..ops import kernels as _k
 from .mesh import DATA_AXIS
@@ -78,14 +79,16 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
     Mirrors models/sgpr.common_terms' knobs: ``mixed`` selects the df32
     kernel profiles, ``gram`` (defaults to ``mixed``) restructures the
     O(N M^2) contraction as the Gram matrix G = Kuf Kuf^T (per-shard
-    partials, psum over ICI) with AAT = _sgpr._aat_sandwich(L, G, sigma) —
-    the emulated-fp64 [M, N] trisolve never runs and A is materialized in
-    a_dtype for the preconditioner only.  The n2m ablation passes
-    gram=False (needs full-precision A) while keeping the df32 build."""
+    partials, psum over ICI) with AAT = Cinv G Cinv^T — the same fused
+    chol+inverse primitive as the single-device gram path (ops/chol64,
+    models/sgpr._kuu_chol_inv), so the emulated-fp64 [M, N] trisolve never
+    runs, the numerics cannot drift between layouts, and the per-instance
+    ~22-30 s fp64-expander compile cost (PERF.md "Cold compile") is paid
+    for M x M replicated factors only.  A is materialized in a_dtype for
+    the preconditioner only.  The n2m ablation passes gram=False (needs
+    full-precision A) while keeping the df32 build."""
     Z = params.inducing_Z.value
     M = Z.shape[0]
-    kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
-    L = jnp.linalg.cholesky(kuu)
     gram = mixed if gram is None else gram
     if mixed:
         kuf = _sgpr._kuf_block_df32(params, Z, X)  # [M, N]
@@ -98,21 +101,29 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
         # custom vjp as the single-device gram path (models/sgpr.py), so
         # gradients stay layout-independent and the emulated-fp64 dG @ Kuf
         # never runs
+        L, Cinv = _sgpr._kuu_chol_inv(params, jitter)
         G = _cshard(
             mesh,
             _sgpr._gram_outer(kuf, params.kernel.variance.value),
             P(),
         )  # per-shard partials + psum
-        AAT = _sgpr._aat_sandwich(L, G, sigma)
-        A = jax.scipy.linalg.solve_triangular(
-            L.astype(a_dtype), kuf.astype(a_dtype), lower=True
+        AAT = (Cinv @ G @ Cinv.T) / params.noise_variance.value
+        AAT = 0.5 * (AAT + AAT.T)
+        A = jnp.dot(
+            Cinv.astype(a_dtype), kuf.astype(a_dtype),
+            precision=jax.lax.Precision.HIGHEST,
         ) / sigma.astype(a_dtype)
+        A = _cshard(mesh, A, P(None, DATA_AXIS))
+        B = AAT + jnp.eye(M, dtype=Z.dtype)
+        LB, _ = _chol64.chol_inv(B)
     else:
+        kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
+        L = jnp.linalg.cholesky(kuu)
         A = jax.scipy.linalg.solve_triangular(L, kuf, lower=True) / sigma
         AAT = _cshard(mesh, A @ A.T, P())  # psum over shards
-    A = _cshard(mesh, A, P(None, DATA_AXIS))
-    B = AAT + jnp.eye(M, dtype=Z.dtype)
-    LB = jnp.linalg.cholesky(B)
+        A = _cshard(mesh, A, P(None, DATA_AXIS))
+        B = AAT + jnp.eye(M, dtype=Z.dtype)
+        LB = jnp.linalg.cholesky(B)
     return _sgpr.CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
 
 

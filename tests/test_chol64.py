@@ -1,0 +1,153 @@
+"""ops/chol64: fused chol+inverse with matmul-only VJPs.
+
+These primitives exist to keep fp64 [M, M] cholesky/trisolve EXPANDER
+instances out of the TPU graph (each costs ~22-30 s of XLA compile; PERF.md
+"Cold compile").  Correctness bar: values and gradients must match the
+native jnp.linalg.cholesky / solve_triangular composition to fp64 roundoff,
+and the Cinv-based gram path must stay inside the documented
+eps64*kappa(L)^2 envelope of the trisolve sandwich it replaces.
+"""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+import pytest
+
+from cglb_tpu.ops.chol64 import chol_inv, chol_inv_retry
+from cglb_tpu.models import sgpr
+from cglb_tpu.ops import kernels as k
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _native(P):
+    L = jnp.linalg.cholesky(P)
+    C = jsl.solve_triangular(L, jnp.eye(P.shape[0], dtype=P.dtype),
+                             lower=True)
+    return L, C
+
+
+def test_chol_inv_values(rng):
+    W = jnp.asarray(rng.normal(size=(16, 30)))
+    P = W @ W.T + jnp.eye(16)
+    (L1, C1), (L2, C2) = _native(P), chol_inv(P)
+    np.testing.assert_allclose(L1, L2, rtol=0, atol=0)
+    np.testing.assert_allclose(C1, C2, rtol=0, atol=0)
+
+
+def test_chol_inv_grads_match_native(rng):
+    """VJP through BOTH outputs == native autodiff, to fp64 roundoff."""
+    W = jnp.asarray(rng.normal(size=(12, 24)))
+
+    def f(make):
+        def g(W):
+            P = W @ W.T + jnp.eye(12)
+            L, C = make(P)
+            return (jnp.sum(jnp.log(jnp.diagonal(L)))
+                    + jnp.sum(jnp.sin(C) * jnp.cos(C.T)))
+        return g
+
+    v1, g1 = jax.value_and_grad(f(_native))(W)
+    v2, g2 = jax.value_and_grad(f(chol_inv))(W)
+    assert abs(float(v1 - v2)) == 0.0
+    np.testing.assert_allclose(g1, g2, rtol=1e-13, atol=1e-14)
+
+
+def test_chol_inv_retry_matches_single_attempt_when_finite(rng):
+    W = jnp.asarray(rng.normal(size=(10, 20)))
+
+    def via_retry(W):
+        L, C = chol_inv_retry(W @ W.T, 1.0)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(C * C)
+
+    def via_native(W):
+        L, C = _native(W @ W.T + jnp.eye(10))
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(C * C)
+
+    v1, g1 = jax.value_and_grad(via_retry)(W)
+    v2, g2 = jax.value_and_grad(via_native)(W)
+    assert abs(float(v1 - v2)) == 0.0
+    np.testing.assert_allclose(g1, g2, rtol=1e-13, atol=1e-14)
+
+
+def test_chol_inv_retry_escalates_jitter():
+    """Eigenvalue -1e-5: base jitter 1e-6 fails, the 1000x retry succeeds."""
+    P = jnp.diag(jnp.asarray([1.0, -1e-5, 2.0]))
+    L, C = jax.jit(lambda p: chol_inv_retry(p, 1e-6))(P)
+    assert bool(jnp.all(jnp.isfinite(L))) and bool(jnp.all(jnp.isfinite(C)))
+    # the middle pivot reflects the escalated jitter
+    np.testing.assert_allclose(float(L[1, 1]) ** 2, -1e-5 + 1e-3, rtol=1e-12)
+
+
+def test_chol_inv_retry_gives_up_like_two_attempt_policy():
+    """Too indefinite for 1000x jitter -> non-finite result (the caller's
+    NaN handling takes over), matching the old 2-attempt _kuu_chol."""
+    P = jnp.diag(jnp.asarray([1.0, -1.0, 2.0]))
+    L, _ = chol_inv_retry(P, 1e-6)
+    assert not bool(jnp.all(jnp.isfinite(L)))
+
+
+def _params(rng, M=24, D=3):
+    kern = k.make_kernel("Matern32", D, variance=1.3, lengthscales=0.9,
+                         dtype=np.float64)
+    Z = rng.normal(size=(M, D))
+    return sgpr.SGPRParams.create(kern, Z, noise_variance=0.3,
+                                  dtype=np.float64)
+
+
+def test_gram_terms_cinv_matches_trisolve_path(rng):
+    """The Cinv (matmul) form of _gram_terms == the trisolve sandwich form
+    within the documented eps64*kappa^2 envelope; A within f32 grade."""
+    params = _params(rng)
+    X = jnp.asarray(rng.normal(size=(200, 3)))
+    W = jnp.asarray(rng.normal(size=(200, 2)))
+    sigma = jnp.sqrt(params.noise_variance.value)
+    L, Ci = sgpr._kuu_chol_inv(params, 1e-6)
+
+    A1, AAT1, AW1 = sgpr._gram_terms(params, L, X, sigma, W=W)
+    A2, AAT2, AW2 = sgpr._gram_terms(params, L, X, sigma, W=W, Cinv=Ci)
+    np.testing.assert_allclose(AAT1, AAT2, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(AW1, AW2, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(A1, A2, rtol=2e-5, atol=2e-5)  # both f32
+
+    # chunked == unchunked on the Cinv path
+    A3, AAT3, AW3 = sgpr._gram_terms(params, L, X, sigma, W=W, Cinv=Ci,
+                                     chunk_size=64)
+    # chunk partials sum in a different order: fp64 reorder noise only
+    np.testing.assert_allclose(AAT2, AAT3, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(AW2, AW3, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(A2, A3, rtol=1e-6, atol=1e-6)
+
+
+def test_mixed_loss_grad_matches_fp64_path(rng):
+    """End-to-end: gradients of the mixed (chol64-based) CGLB loss match the
+    all-fp64 reference-parity path on a small problem."""
+    from cglb_tpu.models import cglb
+
+    params = _params(rng, M=16)
+    X = jnp.asarray(rng.normal(size=(120, 3)))
+    Y = jnp.asarray(rng.normal(size=(120, 1)))
+    v0 = jnp.zeros((1, 120))
+
+    def loss_of(common_dtype):
+        cfg = cglb.CGLBConfig(common_dtype=common_dtype)
+
+        def f(p):
+            val, _ = cglb.loss(p, X, Y, v0, cfg)
+            return val
+
+        return jax.value_and_grad(f)(params)
+
+    v_mixed, g_mixed = loss_of("mixed")
+    v_f64, g_f64 = loss_of("float64")
+    assert abs(float(v_mixed - v_f64)) < 1e-7 * abs(float(v_f64))
+    flat_m = jax.flatten_util.ravel_pytree(g_mixed)[0]
+    flat_f = jax.flatten_util.ravel_pytree(g_f64)[0]
+    scale = float(jnp.max(jnp.abs(flat_f))) + 1e-30
+    np.testing.assert_allclose(flat_m / scale, flat_f / scale,
+                               rtol=0, atol=5e-6)
