@@ -53,6 +53,107 @@ from jax import lax
 
 __all__ = ["chol_inv", "chol_inv_retry"]
 
+# Factorization algorithm for fp64 inputs: "expander" = XLA's native
+# cholesky/triangular_solve lowering; "blocked" = the fori_loop block
+# factorization below (one SMALL expander instance per op); "auto" picks
+# blocked on TPU for divisible sizes.  Measured at [2048, 2048] fp64 on v5e
+# (chained-in-jit timing; PERF.md "Cold compile"):
+#
+#                      expander          blocked (b=256)
+#   cholesky           143.7 ms / ~24 s  ~60 ms  / ~4 s   (runtime/compile)
+#   L^-1 (vs trisolve)  37.6 ms / ~23 s  ~20 ms  / ~4 s
+#
+# The expander's compile cost scales with M ([256] 1.7 s -> [2048] 24 s),
+# so pushing the big factorization into a rolled loop over [256] blocks +
+# fp64 matmuls pays on both axes.
+ALGO = "auto"
+BLOCK = 256
+
+
+def _use_blocked(M: int, dtype) -> bool:
+    if ALGO == "auto":
+        return (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float64
+            and M % BLOCK == 0
+            and M >= 2 * BLOCK
+        )
+    return ALGO == "blocked"
+
+
+def _blocked_chol(P, b: int = None):
+    """Right-looking blocked Cholesky as a lax.fori_loop: ONE [b, b]
+    cholesky + ONE [b, b]x[b, M] trisolve expander instance total, with the
+    O(M^2 b) trailing updates as fp64 matmuls.  A non-PD diagonal block
+    NaNs its panel and every later step, so the retry's finite check works
+    exactly as with the native op."""
+    b = b or BLOCK
+    M = P.shape[0]
+    row_ids = jnp.arange(M)
+
+    def body(k, carry):
+        S, L = carry
+        kb = k * b
+        Dkk = lax.dynamic_slice(S, (kb, kb), (b, b))
+        Lkk = jnp.linalg.cholesky(Dkk)
+        col = lax.dynamic_slice(S, (0, kb), (M, b))
+        # panel = S[:, kb:kb+b] Lkk^-T; its rows [kb, kb+b) equal Lkk
+        # identically (Dkk Lkk^-T = Lkk); rows above kb are stale Schur
+        # garbage -> masked to the zeros the lower factor needs there
+        pan = jsl.solve_triangular(Lkk, col.T, lower=True).T
+        pan = jnp.where((row_ids >= kb)[:, None], pan, 0.0)
+        L = lax.dynamic_update_slice(L, pan, (0, kb))
+        return S - pan @ pan.T, L
+
+    _, L = lax.fori_loop(0, M // b, body, (P, jnp.zeros_like(P)))
+    return L
+
+
+def _blocked_tri_inv(L, b: int = None):
+    """C = L^-1 by block forward substitution: one BATCHED [nb, b, b]
+    trisolve for the diagonal blocks, then a fori_loop whose body is two
+    matmuls — total fp64-matmul FLOPs equal to one [M, M, M] product."""
+    b = b or BLOCK
+    M = L.shape[0]
+    nb = M // b
+    diag = jax.vmap(
+        lambda k: lax.dynamic_slice(L, (k * b, k * b), (b, b))
+    )(jnp.arange(nb))
+    Dinv = jsl.solve_triangular(
+        diag,
+        jnp.broadcast_to(jnp.eye(b, dtype=L.dtype), (nb, b, b)),
+        lower=True,
+    )  # [nb, b, b]
+    cols = jnp.arange(M)
+
+    def body(k, C):
+        kb = k * b
+        Lrow = lax.dynamic_slice(L, (kb, 0), (b, M))
+        # I[kb:kb+b, :] without a dynamic slice of eye
+        irow = (cols[None, :] == (kb + jnp.arange(b))[:, None]).astype(
+            L.dtype
+        )
+        # rows j >= k of C are still zero, and L's strict upper is zero, so
+        # Lrow @ C is exactly sum_{j<k} L[k,j] C[j,:]
+        rows = Dinv[k] @ (irow - Lrow @ C)
+        return lax.dynamic_update_slice(C, rows, (kb, 0))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros_like(L))
+
+
+def _chol(P):
+    if _use_blocked(P.shape[0], P.dtype):
+        return _blocked_chol(P)
+    return jnp.linalg.cholesky(P)
+
+
+def _tri_inv(L):
+    if _use_blocked(L.shape[0], L.dtype):
+        return _blocked_tri_inv(L)
+    return jsl.solve_triangular(
+        L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True
+    )
+
 
 def _phi(X):
     """Lower triangle with halved diagonal (the Cholesky-derivative mask)."""
@@ -71,11 +172,10 @@ def _chol_bwd_matmul(L, C, dL, dC):
 def chol_inv(P):
     """(chol(P), chol(P)^-1) with a matmul-only VJP.
 
-    The inverse is computed by ONE fp64 triangular solve against I; callers
-    that only consume L (no grad) get the solve DCE'd by XLA."""
-    L = jnp.linalg.cholesky(P)
-    C = jsl.solve_triangular(L, jnp.eye(P.shape[0], dtype=P.dtype),
-                             lower=True)
+    The inverse is computed by ONE triangular-solve pass; callers that only
+    consume L (no grad) get it DCE'd by XLA."""
+    L = _chol(P)
+    C = _tri_inv(L)
     return L, C
 
 
@@ -114,7 +214,7 @@ def _chol_inv_retry(P, jitter):
 
     def body(carry):
         jmul, _ = carry
-        L = jnp.linalg.cholesky(P + (jmul * jitter) * eye)
+        L = _chol(P + (jmul * jitter) * eye)
         ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
         # negative jmul marks success; cond() then exits
         return jnp.where(ok, -jmul, jmul * 1000.0), L
@@ -126,7 +226,7 @@ def _chol_inv_retry(P, jitter):
     _, L = lax.while_loop(
         cond, body, (jnp.asarray(1.0, P.dtype), jnp.zeros_like(P))
     )
-    C = jsl.solve_triangular(L, eye, lower=True)
+    C = _tri_inv(L)
     return L, C
 
 

@@ -15,6 +15,7 @@ import jax.scipy.linalg as jsl
 import numpy as np
 import pytest
 
+from cglb_tpu.ops import chol64
 from cglb_tpu.ops.chol64 import chol_inv, chol_inv_retry
 from cglb_tpu.models import sgpr
 from cglb_tpu.ops import kernels as k
@@ -90,6 +91,65 @@ def test_chol_inv_retry_gives_up_like_two_attempt_policy():
     P = jnp.diag(jnp.asarray([1.0, -1.0, 2.0]))
     L, _ = chol_inv_retry(P, 1e-6)
     assert not bool(jnp.all(jnp.isfinite(L)))
+
+
+def _spd(rng, M, kappa=None):
+    W = rng.normal(size=(M, 2 * M))
+    P = W @ W.T / (2 * M) + np.eye(M)
+    if kappa is not None:
+        # stretch the spectrum to the requested condition number
+        w, V = np.linalg.eigh(P)
+        w = np.geomspace(1.0 / kappa, 1.0, M)
+        P = (V * w) @ V.T
+        P = 0.5 * (P + P.T)
+    return jnp.asarray(P)
+
+
+def test_blocked_chol_matches_native(rng, monkeypatch):
+    monkeypatch.setattr(chol64, "ALGO", "blocked")
+    monkeypatch.setattr(chol64, "BLOCK", 64)
+    for M in (128, 192, 256):  # nb = 2, 3, 4
+        P = _spd(rng, M)
+        L_b = jax.jit(chol64._chol)(P)
+        L_n = jnp.linalg.cholesky(P)
+        np.testing.assert_allclose(L_b, L_n, rtol=1e-12, atol=1e-13)
+        C_b = jax.jit(chol64._tri_inv)(L_n)
+        C_n = jsl.solve_triangular(L_n, jnp.eye(M, dtype=P.dtype),
+                                   lower=True)
+        np.testing.assert_allclose(C_b, C_n, rtol=1e-11, atol=1e-12)
+
+
+def test_blocked_chol_ill_conditioned(rng, monkeypatch):
+    """kappa ~ 1e8: blocked factorization stays as backward-stable as the
+    native op (logdet + reconstruction + inverse residual)."""
+    monkeypatch.setattr(chol64, "ALGO", "blocked")
+    monkeypatch.setattr(chol64, "BLOCK", 64)
+    M = 256
+    P = _spd(rng, M, kappa=1e8)
+    L = jax.jit(chol64._chol)(P)
+    L_n = jnp.linalg.cholesky(P)
+    ld_b = float(jnp.sum(jnp.log(jnp.diagonal(L))))
+    ld_n = float(jnp.sum(jnp.log(jnp.diagonal(L_n))))
+    assert abs(ld_b - ld_n) < 1e-9 * abs(ld_n)
+    np.testing.assert_allclose(L @ L.T, P, rtol=1e-11, atol=1e-13)
+    C = jax.jit(chol64._tri_inv)(L)
+    resid = C @ L - jnp.eye(M, dtype=P.dtype)
+    assert float(jnp.max(jnp.abs(resid))) < 1e-8  # eps64 * kappa envelope
+
+
+def test_blocked_chol_nan_propagates_to_retry(monkeypatch):
+    """An indefinite block makes the blocked factorization non-finite, so
+    chol_inv_retry's finite check escalates the jitter exactly as with the
+    native op."""
+    monkeypatch.setattr(chol64, "ALGO", "blocked")
+    monkeypatch.setattr(chol64, "BLOCK", 64)
+    d = np.ones(128)
+    d[100] = -1e-5  # fails at base jitter 1e-6, fixed by the 1000x retry
+    P = jnp.asarray(np.diag(d))
+    L, C = jax.jit(lambda p: chol_inv_retry(p, 1e-6))(P)
+    assert bool(jnp.all(jnp.isfinite(L))) and bool(jnp.all(jnp.isfinite(C)))
+    np.testing.assert_allclose(float(L[100, 100]) ** 2, -1e-5 + 1e-3,
+                               rtol=1e-12)
 
 
 def _params(rng, M=24, D=3):
