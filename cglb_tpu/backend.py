@@ -166,6 +166,39 @@ class Model:
             raise NotImplementedError(kind)
         return fn
 
+    def loss_fn_tol(self) -> _training.LossFn:
+        """CGLB loss with the CG stopping tolerance as a TRACED argument:
+        ``fn(params, carry, X, Y, max_error) -> (loss, aux)``.
+
+        One compiled program serves every tolerance level of the adaptive
+        schedule (utils/training.scipy_tol_minimize; ``-o scipy_tol``).  CG
+        runs the ACCURATE streaming tier here: the cheap single-pass-bf16
+        tier's ~1e-3 operator error is only sound while the stopping
+        threshold dwarfs it (loss_fn's ``fast_cg`` gate), which no longer
+        holds once the schedule tightens below ~0.5."""
+        if self.kind not in _CGLB_KINDS:
+            raise ValueError("adaptive CG tolerance requires a CGLB model")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "scipy_tol is single-device for now: the sharded loss bakes "
+                "cfg.max_error in statically (parallel/sharded.py)")
+        cfg = self.run_cfg
+        joint = cfg.joint_optimization and not cfg.vzero
+        make_pair = self._matvec_factory(pair=True)
+
+        def fn(params, carry, X, Y, max_error):
+            v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
+            if joint and params.v0 is not None:
+                v0 = params.v0.value
+            matvec = None
+            if make_pair is not None:
+                matvec, _ = make_pair(params.kernel, X,
+                                      params.noise_variance.value)
+            return _cglb.loss(params, X, Y, v0, cfg, matvec=matvec,
+                              max_error=max_error)
+
+        return fn
+
     def _matvec_factory(self, pair: bool = False):
         """None -> dense K materialization (reference TF backend behavior);
         else a (kernel, X, sigma_sq) -> matvec builder using the streaming
@@ -581,6 +614,17 @@ class Jax:
             res = _training.scipy_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
                 attempts=4, freeze_inducing_after=2,
+                feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
+            )
+        elif optimizer == "scipy_tol":
+            # adaptive CG-tolerance schedule (first-party; no reference
+            # equivalent): tighten max_error 10x each time scipy converges
+            # with budget left — fixed-tolerance runs stall once line-search
+            # progress falls below the CG-slack objective jitter (PERF.md
+            # hard-variant diagnosis)
+            res = _training.scipy_tol_minimize(
+                loss_fn, model.loss_fn_tol(), model.params, carry,
+                num_steps, logger, tol_start=model.run_cfg.max_error,
                 feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
             )
         elif optimizer == "lbfgs":

@@ -16,7 +16,10 @@ commands.
 
 New vs reference: ``-o lbfgs`` (pure-JAX on-device L-BFGS), ``-o lbfgs_native``
 (first-party C++ driver), ``-o scipy4`` (the torch backend's 4-restart
-schedule with inducing-point freezing), and ``--matvec {auto,dense,streaming}``
+schedule with inducing-point freezing), ``-o scipy_tol`` (adaptive
+CG-tolerance schedule: tightens max_error 10x each time scipy converges with
+budget left — breaks the CG-slack stall, utils/training.scipy_tol_minimize),
+and ``--matvec {auto,dense,streaming}``
 replacing the ``--keops`` toggle (streaming = Pallas blockwise matvec;
 ``--keops``/``--no-keops`` kept as compatible aliases).
 """
@@ -228,8 +231,8 @@ def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype,
 
 
 _optimizer_choices = click.Choice(
-    ["scipy", "scipy4", "lbfgs", "lbfgs_native", "staged", "adam_0.1",
-     "adam_0.01", "adam_0.001"]
+    ["scipy", "scipy4", "scipy_tol", "lbfgs", "lbfgs_native", "staged",
+     "adam_0.1", "adam_0.01", "adam_0.001"]
 )
 
 

@@ -149,9 +149,14 @@ def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig,
     amplifies by 1/sigma^2 at noise collapse."""
     import jax
 
+    from ..ops.chol64 import chol_inv as _chol_inv
+
     pd = jnp.dtype(cfg.precond_dtype)
     if consistent_ct and ct.A.dtype == pd and ct.LB.dtype == pd:
-        return _pc.NystromPreconditioner(A=ct.A, LB=ct.LB, sigma_sq=sigma_sq)
+        # ct.LBi (fp64 LB^-1 from the fused chol_inv) is consistent with
+        # this LB by construction; it turns every CG-loop apply into matmuls
+        return _pc.NystromPreconditioner(A=ct.A, LB=ct.LB, sigma_sq=sigma_sq,
+                                         Ci=ct.LBi)
     A = ct.A.astype(pd)
     M = A.shape[0]
     # precision=HIGHEST: at Precision.DEFAULT an f32 matmul lowers to bf16
@@ -161,8 +166,10 @@ def _make_precond(ct: CommonTerms, sigma_sq, cfg: CGLBConfig,
     # Woodbury identity breaks down (CPU tests run at HIGHEST by default and
     # cannot catch this).
     AAT = jnp.dot(A, A.T, precision=jax.lax.Precision.HIGHEST)
-    LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=pd))
-    return _pc.NystromPreconditioner(A=A, LB=LB, sigma_sq=sigma_sq)
+    # fused chol+inverse: matmul-only VJP, and Ci makes every CG-loop
+    # preconditioner apply matmul-only (see NystromPreconditioner.Ci)
+    LB, Ci = _chol_inv(AAT + jnp.eye(M, dtype=pd))
+    return _pc.NystromPreconditioner(A=A, LB=LB, sigma_sq=sigma_sq, Ci=Ci)
 
 
 def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
@@ -221,13 +228,18 @@ REMAT_THRESHOLD_ELEMENTS = 128 * 1024 * 1024
 def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
           jitter: float = None, matvec: Optional[Callable] = None,
           remat_common_terms: Optional[bool] = None,
-          matvec_cg: Optional[Callable] = None
+          matvec_cg: Optional[Callable] = None,
+          max_error: Optional[jnp.ndarray] = None
           ) -> Tuple[jnp.ndarray, CGLBAux]:
     """The CGLB lower bound on log p(Y|X).  Returns (bound, aux).
 
     reference: tensorflow/models.py:175-192.
     matvec_cg: optional cheap operator for the CG iterations only (see
     _quad_form_bound).
+    max_error: optional TRACED override of cfg.max_error (a scalar jit
+    argument), letting callers tighten the CG stopping tolerance at runtime
+    without recompiling — the adaptive-tolerance optimizer schedule
+    (utils/training.scipy_tol_minimize) rides on this.
 
     remat_common_terms: rematerialize Kuf/A/AAT in the backward pass instead
     of storing the O(N M) intermediates.  Default (None) decides by size:
@@ -256,18 +268,19 @@ def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
     b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
     quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec,
                                  consistent_ct=not gram,
-                                 matvec_cg=matvec_cg)
+                                 matvec_cg=matvec_cg, max_error=max_error)
     b += quad
     return b, aux
 
 
 def loss(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
          jitter: float = None, matvec: Optional[Callable] = None,
-         matvec_cg: Optional[Callable] = None
+         matvec_cg: Optional[Callable] = None,
+         max_error: Optional[jnp.ndarray] = None
          ) -> Tuple[jnp.ndarray, CGLBAux]:
     """Training loss = -bound; aux carries the CG warm start + stats."""
     b, aux = bound(params, X, Y, v0, cfg, jitter, matvec,
-                   matvec_cg=matvec_cg)
+                   matvec_cg=matvec_cg, max_error=max_error)
     return -b, aux
 
 

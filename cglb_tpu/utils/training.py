@@ -87,6 +87,8 @@ def scipy_minimize(
     data: tuple = (),
     freeze_inducing_after: Optional[int] = None,
     sync_fn: Callable[[Any, Any], None] = None,
+    vg: Callable = None,
+    _reset_timer: bool = True,
 ) -> OptimizeResult:
     """L-BFGS-B on the host, jitted loss+grad on device.
 
@@ -107,8 +109,13 @@ def scipy_minimize(
     freeze_inducing_after: attempt index at which inducing points become
     non-trainable (the torch backend's 4-attempt schedule freezes them after
     the 2nd: pytorch/interface.py:507-543).
+    vg: optional pre-jitted value_and_grad of loss_fn — callers invoking
+    this bridge repeatedly (scipy_tol_minimize's tolerance levels) pass one
+    shared instance so every level hits the SAME in-memory executable cache.
+    _reset_timer: False keeps the logger's wall-clock running across calls
+    (multi-level schedules are ONE run for metric-vs-time purposes).
     """
-    vg = _jit_value_and_grad(loss_fn)
+    vg = vg if vg is not None else _jit_value_and_grad(loss_fn)
 
     holder = {
         "params": params,
@@ -162,7 +169,7 @@ def scipy_minimize(
         if logger is not None:
             logger(None)
 
-    if logger is not None:
+    if logger is not None and _reset_timer:
         logger.timer.reset()
         logger.timer.start()
 
@@ -213,6 +220,104 @@ def scipy_minimize(
             "opt/num_fevals": holder["nfev"],
             "opt/penalty_fevals": holder["penalty_fevals"],
             "opt/attempts": attempt_log,
+        },
+    )
+
+
+def scipy_tol_minimize(
+    loss_fn: LossFn,
+    loss_fn_tol: Callable,
+    params,
+    state,
+    num_steps: int,
+    logger: Optional[Logger] = None,
+    tol_start: float = 1.0,
+    tol_floor: float = 1e-2,
+    tol_factor: float = 0.1,
+    attempts_per_level: int = 1,
+    feval_stats_fn: Callable[[Any], dict] = None,
+    data: tuple = (),
+    sync_fn: Callable[[Any, Any], None] = None,
+) -> OptimizeResult:
+    """Adaptive CG-tolerance L-BFGS schedule (first-party improvement).
+
+    Fixed-tolerance CGLB training stalls once true per-iteration
+    improvements fall below the CG stopping slack's objective jitter
+    (O(max_error) absolute through the warm-start carry; PERF.md
+    hard-variant diagnosis): L-BFGS-B's line search then correctly reports
+    zero reduction against noise, far from the model's attainable loss.
+    The reference runs a fixed max_error=1.0 throughout and shares the
+    stall (cglb_experiments/xpert-main.toml:15-35 protocol).
+
+    This schedule runs the standard bridge at ``tol_start`` first (the
+    cheap-CG-tier program plain scipy uses — shared compile cache), then,
+    each time scipy converges with budget left, multiplies the tolerance by
+    ``tol_factor`` and restarts L-BFGS from the solution using
+    ``loss_fn_tol`` — the tolerance rides as a TRACED scalar argument, so
+    every tightened level reuses ONE compiled program.  Tightening shrinks
+    the jitter floor under the line search 10x per level until the step
+    budget or ``tol_floor`` is reached.  The CGLB bound stays valid at
+    every level (it is a lower bound for ANY v; tighter CG only raises it).
+
+    attempts_per_level defaults to 1 (not scipy_minimize's 2): under this
+    schedule every level transition IS a restart, so same-tolerance
+    re-attempts would only spend budget re-confirming the stall the next
+    level is about to break.  A spurious L-BFGS-B early stop (the bug the
+    2-attempt default works around) simply tightens one level early, which
+    costs nothing — the tightened level restarts from the same point.
+    """
+    total = 0
+    remaining = num_steps
+    levels = []
+    fevals = 0
+    penalty = 0
+    vg_tol = _jit_value_and_grad(loss_fn_tol)
+    me = float(tol_start)
+    res = None
+    first = True
+    while remaining > 0:
+        if first:
+            res = scipy_minimize(
+                loss_fn, params, state, remaining, logger,
+                attempts=attempts_per_level, feval_stats_fn=feval_stats_fn,
+                data=data, sync_fn=sync_fn,
+            )
+        else:
+            # model dtype (fp32 runs must not smuggle in an x64 scalar)
+            me_arr = jnp.asarray(
+                me, dtype=data[0].dtype if data else None)
+            res = scipy_minimize(
+                loss_fn_tol, params, state, remaining, logger,
+                attempts=attempts_per_level, feval_stats_fn=feval_stats_fn,
+                data=tuple(data) + (me_arr,), sync_fn=sync_fn, vg=vg_tol,
+                _reset_timer=False,
+            )
+        total += res.num_iters
+        remaining -= res.num_iters
+        fevals += res.info["opt/num_fevals"]
+        penalty += res.info["opt/penalty_fevals"]
+        levels.append({
+            "max_error": me,
+            "nit": res.num_iters,
+            "final_loss": res.final_loss,
+            "attempts": res.info["opt/attempts"],
+        })
+        params, state = res.params, res.state
+        if me <= tol_floor * (1.0 + 1e-12):
+            break
+        me = max(me * tol_factor, tol_floor)
+        first = False
+
+    return OptimizeResult(
+        params=params,
+        state=state,
+        num_iters=total,
+        final_loss=res.final_loss if res is not None else float("nan"),
+        info={
+            "opt/num_iters": total,
+            "opt/num_fevals": fevals,
+            "opt/penalty_fevals": penalty,
+            "opt/levels": levels,
         },
     )
 

@@ -85,7 +85,7 @@ def test_optimizer_paths_agree_on_final_quality(snelson):
     from cglb_tpu.utils.native import native_available
 
     results = {}
-    optimizers = ["scipy", "lbfgs"] + (
+    optimizers = ["scipy", "scipy_tol", "lbfgs"] + (
         ["lbfgs_native"] if native_available() else []
     )
     for opt in optimizers:

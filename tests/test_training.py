@@ -90,6 +90,69 @@ def test_scipy_minimize_cglb_with_warm_start(rng):
     assert np.asarray(res.state.v).shape == (1, X.shape[0])
 
 
+def test_traced_max_error_tightens_cg_in_one_program(rng):
+    """cglb.loss's max_error override is a TRACED scalar: tightening it
+    drives more CG steps and a higher (tighter) bound WITHOUT recompiling
+    — the contract scipy_tol_minimize's level schedule rides on."""
+    import jax
+
+    X, Y = _data(rng, n=200, d=2)
+    params = _sgpr_params(rng, X, Y, m=8)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    cfg = cglb_mod.CGLBConfig()
+    v0 = cglb_mod.init_v0(X.shape[0])
+
+    f = jax.jit(
+        lambda me: cglb_mod.loss(params, Xj, Yj, v0, cfg, max_error=me)
+    )
+    l_loose, aux_loose = f(jnp.asarray(1.0))
+    l_tight, aux_tight = f(jnp.asarray(1e-6))
+    assert int(aux_tight.cg_steps) > int(aux_loose.cg_steps)
+    assert float(aux_tight.cg_residual_error) < float(
+        aux_loose.cg_residual_error)
+    # tighter CG only RAISES the CGLB bound, i.e. lowers the loss
+    assert float(l_tight) <= float(l_loose) + 1e-9
+    # both tolerances ran the SAME compiled program
+    assert f._cache_size() == 1
+
+
+def test_scipy_tol_minimize_levels_and_depth(rng):
+    """The adaptive schedule walks max_error 1.0 -> 1e-2, stays within the
+    step budget, and ends at least as deep as the fixed-tolerance bridge."""
+    X, Y = _data(rng, n=120, d=2)
+    params = _sgpr_params(rng, X, Y, m=10)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    cfg = cglb_mod.CGLBConfig()
+    v0 = cglb_mod.init_v0(X.shape[0])
+
+    def loss_fn(p, carry, Xa, Ya):
+        v = carry.v if isinstance(carry, cglb_mod.CGLBAux) else carry
+        return cglb_mod.loss(p, Xa, Ya, v, cfg)
+
+    def loss_fn_tol(p, carry, Xa, Ya, me):
+        v = carry.v if isinstance(carry, cglb_mod.CGLBAux) else carry
+        return cglb_mod.loss(p, Xa, Ya, v, cfg, max_error=me)
+
+    budget = 250  # enough for every level to converge (floor is reached)
+    res = training.scipy_tol_minimize(
+        loss_fn, loss_fn_tol, params, v0, budget, data=(Xj, Yj))
+    levels = res.info["opt/levels"]
+    mes = [lv["max_error"] for lv in levels]
+    assert mes[0] == pytest.approx(cfg.max_error)
+    assert mes == sorted(mes, reverse=True)
+    assert len(levels) >= 2
+    assert mes[-1] == pytest.approx(1e-2)
+    assert res.num_iters <= budget
+    assert res.info["opt/num_fevals"] >= res.num_iters
+    assert isinstance(res.state, cglb_mod.CGLBAux)
+
+    res_fixed = training.scipy_minimize(
+        loss_fn, params, v0, budget, data=(Xj, Yj))
+    # level 0 replicates the fixed bridge; later levels only lower the loss
+    # (tight bound >= loose bound at the handoff point, L-BFGS monotone)
+    assert res.final_loss <= res_fixed.final_loss + 1e-6
+
+
 def test_lbfgs_minimize_on_device(rng):
     X, Y = _data(rng)
     params = _sgpr_params(rng, X, Y)
