@@ -130,10 +130,12 @@ def main():
     @jax.jit
     def run_cg(b, X, ct, params):
         sigma_sq = params.noise_variance.value
-        # f32 preconditioner apply — the production default (models/cglb.py)
+        # f32 preconditioner apply — the production default (models/cglb.py),
+        # incl. the explicit LB^-1 so every apply in the CG loop is a matmul
+        # (no [M, M] trisolve per iteration; ops/preconditioners.py Ci)
         precond = pc.NystromPreconditioner(
             A=ct.A.astype(jnp.float32), LB=ct.LB.astype(jnp.float32),
-            sigma_sq=sigma_sq,
+            sigma_sq=sigma_sq, Ci=ct.LBi.astype(jnp.float32),
         )
         # CG runs the cheap tier, exactly as the training loss does
         _, op_cg = mv.make_streaming_operator_pair(params.kernel, X, sigma_sq,

@@ -94,6 +94,10 @@ class CommonTerms(NamedTuple):
     B: jnp.ndarray     # [M, M]  AAT + I
     LB: jnp.ndarray    # [M, M]  chol(B)
     L: jnp.ndarray     # [M, M]  chol(Kuu + jitter I)
+    # LB^-1, a free byproduct of the fused chol_inv (ops/chol64): consumed
+    # by the Nystrom preconditioner so its per-CG-iteration applies are
+    # matmuls instead of [M, M] trisolve expander instances
+    LBi: jnp.ndarray = None
 
 
 def _kuu_chol(params: SGPRParams, jitter: float):
@@ -465,7 +469,7 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
         A, AAT, _ = _gram_terms(params, L, X, sigma, chunk_size=chunk_size,
                                 a_dtype=a_dtype, Cinv=Cinv)
         B = AAT + jnp.eye(M, dtype=Z.dtype)
-        LB, _ = chol_inv(B)
+        LB, LBi = chol_inv(B)
     else:
         # fp64 chunked solves/AAT (df32 kernel build when mixed).  Full-f32
         # solves were tried and go unstable when sigma^2 shrinks
@@ -476,8 +480,8 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
         A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size,
                                kernel_df32=mixed)
         B = AAT + jnp.eye(M, dtype=Z.dtype)
-        LB = jnp.linalg.cholesky(B)
-    return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
+        LB, LBi = chol_inv(B)
+    return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L, LBi=LBi)
 
 
 def elbo(params: SGPRParams, X, Y, jitter: float = None,

@@ -103,7 +103,11 @@ def _blocked_chol(P, b: int = None):
         pan = jsl.solve_triangular(Lkk, col.T, lower=True).T
         pan = jnp.where((row_ids >= kb)[:, None], pan, 0.0)
         L = lax.dynamic_update_slice(L, pan, (0, kb))
-        return S - pan @ pan.T, L
+        # HIGHEST: inert for fp64 (emulation is exact), required if this
+        # path is ever forced for f32 — DEFAULT f32 matmuls lower to bf16
+        # MXU passes on TPU, which would corrupt the trailing Schur update
+        S = S - jnp.dot(pan, pan.T, precision=jax.lax.Precision.HIGHEST)
+        return S, L
 
     _, L = lax.fori_loop(0, M // b, body, (P, jnp.zeros_like(P)))
     return L
@@ -135,7 +139,9 @@ def _blocked_tri_inv(L, b: int = None):
         )
         # rows j >= k of C are still zero, and L's strict upper is zero, so
         # Lrow @ C is exactly sum_{j<k} L[k,j] C[j,:]
-        rows = Dinv[k] @ (irow - Lrow @ C)
+        hi = jax.lax.Precision.HIGHEST  # see _blocked_chol's Schur note
+        rows = jnp.dot(Dinv[k], irow - jnp.dot(Lrow, C, precision=hi),
+                       precision=hi)
         return lax.dynamic_update_slice(C, rows, (kb, 0))
 
     return lax.fori_loop(0, nb, body, jnp.zeros_like(L))

@@ -34,6 +34,14 @@ class NystromPreconditioner:
     A: jnp.ndarray        # [M, N]
     LB: jnp.ndarray       # [M, M], lower
     sigma_sq: jnp.ndarray  # []
+    # optional LB^-1: when present, every apply is matmul-only.  On TPU each
+    # [M, M] triangular_solve in the CG loop is an XLA expander instance
+    # costing seconds of COMPILE time (~10 call sites in the loss+grad graph
+    # -- PERF.md "Cold compile"), and at runtime trisolve lowers ~3x slower
+    # than the equal-FLOPs matmul.  Forward error is eps*kappa(B) either way
+    # (a backward-stable trisolve has the same FORWARD envelope), and the
+    # sum-of-squares rz below is nonnegative by construction regardless.
+    Ci: jnp.ndarray = None
 
 
 def mat_vec(precond, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -54,8 +62,12 @@ def mat_vec(precond, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         hi = jax.lax.Precision.HIGHEST
         rt = r.astype(A.dtype).T  # [N, B]
         Ar = jnp.dot(A, rt, precision=hi)  # [M, B]
-        u = jsl.solve_triangular(LB, Ar, lower=True)
-        w = jsl.solve_triangular(LB.T, u, lower=False)
+        if precond.Ci is not None:
+            u = jnp.dot(precond.Ci, Ar, precision=hi)
+            w = jnp.dot(precond.Ci.T, u, precision=hi)
+        else:
+            u = jsl.solve_triangular(LB, Ar, lower=True)
+            w = jsl.solve_triangular(LB.T, u, lower=False)
         rv = rt - jnp.dot(A.T, w, precision=hi)  # [N, B]
         # r^T Qhat^-1 r via the sum-of-squares identity: with w = B^-1 A r and
         # rv = r - A^T w one has A rv = Ar - (B - I) w = w, hence

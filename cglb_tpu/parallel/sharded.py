@@ -115,7 +115,7 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
         ) / sigma.astype(a_dtype)
         A = _cshard(mesh, A, P(None, DATA_AXIS))
         B = AAT + jnp.eye(M, dtype=Z.dtype)
-        LB, _ = _chol64.chol_inv(B)
+        LB, LBi = _chol64.chol_inv(B)
     else:
         kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
         L = jnp.linalg.cholesky(kuu)
@@ -123,8 +123,8 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
         AAT = _cshard(mesh, A @ A.T, P())  # psum over shards
         A = _cshard(mesh, A, P(None, DATA_AXIS))
         B = AAT + jnp.eye(M, dtype=Z.dtype)
-        LB = jnp.linalg.cholesky(B)
-    return _sgpr.CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L)
+        LB, LBi = _chol64.chol_inv(B)
+    return _sgpr.CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L, LBi=LBi)
 
 
 def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,

@@ -56,6 +56,38 @@ def test_preconditioner_inverse_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), np.asarray(r), rtol=1e-8, atol=1e-10)
 
 
+def test_preconditioner_ci_matches_trisolve(rng):
+    """The matmul-only apply (explicit LB^-1, models/cglb._make_precond's
+    construction) matches the trisolve apply — including at small sigma,
+    where kappa(B) ~ 1/sigma^2 stresses both paths equally — and its rz
+    stays nonnegative (the sum-of-squares identity is structural)."""
+    import jax.scipy.linalg as jsl
+
+    n, m = 120, 24
+    for sigma_sq in (0.5, 1e-4):
+        U = rng.normal(size=(n, m))
+        A = (U / np.sqrt(sigma_sq)).T
+        B = A @ A.T + np.eye(m)
+        LB = np.linalg.cholesky(B)
+        Ci = np.asarray(
+            jsl.solve_triangular(jnp.asarray(LB), jnp.eye(m), lower=True))
+        P_tri = pc.NystromPreconditioner(
+            A=jnp.asarray(A), LB=jnp.asarray(LB),
+            sigma_sq=jnp.asarray(sigma_sq))
+        P_ci = pc.NystromPreconditioner(
+            A=jnp.asarray(A), LB=jnp.asarray(LB),
+            sigma_sq=jnp.asarray(sigma_sq), Ci=jnp.asarray(Ci))
+        r = jnp.asarray(rng.normal(size=(3, n)))
+        z_t, rz_t = pc.mat_vec(P_tri, r)
+        z_c, rz_c = pc.mat_vec(P_ci, r)
+        scale = float(jnp.max(jnp.abs(z_t)))
+        np.testing.assert_allclose(np.asarray(z_c), np.asarray(z_t),
+                                   rtol=1e-9, atol=1e-11 * scale)
+        np.testing.assert_allclose(np.asarray(rz_c), np.asarray(rz_t),
+                                   rtol=1e-9)
+        assert bool(jnp.all(rz_c >= 0))
+
+
 def test_cg_converges_to_dense_solve(rng):
     K, b, precond, _ = _spd_system(rng)
     matvec = lambda p: p @ jnp.asarray(K)
