@@ -295,6 +295,10 @@ class PredictCache(NamedTuple):
     c: jnp.ndarray   # [M, D] LB^-1 (A @ res) / sigma  (res = err - (K+s2)v)
     L: jnp.ndarray   # [M, M] chol(Kuu + jitter I)
     LB: jnp.ndarray  # [M, M]
+    # optional inverses (mixed path): per-batch solves run as matmuls (see
+    # models/sgpr.SGPRPredictCache)
+    Li: jnp.ndarray = None
+    LBi: jnp.ndarray = None
 
 
 def predict_prepare(params: SGPRParams, X, Y, v0,
@@ -336,8 +340,14 @@ def predict_prepare(params: SGPRParams, X, Y, v0,
         Ares = kuf_weighted(params, ct.L, X, res, sigma)
     else:
         Ares = ct.A @ res
-    c = jsl.solve_triangular(ct.LB, Ares, lower=True) / sigma
-    return PredictCache(v=v, c=c, L=ct.L, LB=ct.LB)
+    if ct.LBi is not None:
+        import jax
+
+        c = jnp.dot(ct.LBi, Ares,
+                    precision=jax.lax.Precision.HIGHEST) / sigma
+    else:
+        c = jsl.solve_triangular(ct.LB, Ares, lower=True) / sigma
+    return PredictCache(v=v, c=c, L=ct.L, LB=ct.LB, Li=ct.Li, LBi=ct.LBi)
 
 
 def predict_from_cache(params: SGPRParams, cache: PredictCache, X, Xnew,
@@ -360,8 +370,9 @@ def predict_from_cache(params: SGPRParams, cache: PredictCache, X, Xnew,
         cg_mean = Ksf @ v.T  # [S, D]
 
     Kus = _k.K(params.kernel, Z, Xnew)
-    tmp1 = jsl.solve_triangular(cache.L, Kus, lower=True)
-    tmp2 = jsl.solve_triangular(cache.LB, tmp1, lower=True)
+    from .sgpr import _cache_solves
+
+    tmp1, tmp2 = _cache_solves(cache, Kus)
     sgpr_mean = tmp2.T @ c
     D = v.shape[0]
     if full_cov:

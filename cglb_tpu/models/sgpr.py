@@ -98,6 +98,9 @@ class CommonTerms(NamedTuple):
     # by the Nystrom preconditioner so its per-CG-iteration applies are
     # matmuls instead of [M, M] trisolve expander instances
     LBi: jnp.ndarray = None
+    # L^-1 (mixed/gram path only): lets the prediction path run its
+    # per-batch [M, S] "solves" as matmuls too (predict_from_cache)
+    Li: jnp.ndarray = None
 
 
 def _kuu_chol(params: SGPRParams, jitter: float):
@@ -470,6 +473,7 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
                                 a_dtype=a_dtype, Cinv=Cinv)
         B = AAT + jnp.eye(M, dtype=Z.dtype)
         LB, LBi = chol_inv(B)
+        Li = Cinv
     else:
         # fp64 chunked solves/AAT (df32 kernel build when mixed).  Full-f32
         # solves were tried and go unstable when sigma^2 shrinks
@@ -481,7 +485,8 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
                                kernel_df32=mixed)
         B = AAT + jnp.eye(M, dtype=Z.dtype)
         LB, LBi = chol_inv(B)
-    return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L, LBi=LBi)
+        Li = None  # fp64-exact path keeps trisolves against L downstream
+    return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L, LBi=LBi, Li=Li)
 
 
 def elbo(params: SGPRParams, X, Y, jitter: float = None,
@@ -584,6 +589,11 @@ class SGPRPredictCache(NamedTuple):
     c: jnp.ndarray   # [M, D] LB^-1 (A @ err) / sigma
     L: jnp.ndarray
     LB: jnp.ndarray
+    # optional L^-1 / LB^-1 (mixed path): per-batch solves become matmuls —
+    # on TPU the [M, S] fp64 trisolve is both ~3x the runtime of the
+    # equal-FLOPs matmul and a per-instance XLA-expander compile cost
+    Li: jnp.ndarray = None
+    LBi: jnp.ndarray = None
 
 
 def predict_prepare(params: SGPRParams, X, Y, jitter: float = None,
@@ -602,12 +612,28 @@ def predict_prepare(params: SGPRParams, X, Y, jitter: float = None,
                                    Cinv=Ci)
         LB, CB = chol_inv(AAT + jnp.eye(M, dtype=X.dtype))
         c = (CB @ Aerr) / sigma
-    else:
-        L = _kuu_chol(params, jitter)
-        _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
-        LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
-        c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
+        return SGPRPredictCache(c=c, L=L, LB=LB, Li=Ci, LBi=CB)
+    L = _kuu_chol(params, jitter)
+    _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
+    LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
+    c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
     return SGPRPredictCache(c=c, L=L, LB=LB)
+
+
+def _cache_solves(cache, Kus):
+    """tmp1 = L^-1 Kus, tmp2 = LB^-1 tmp1 — matmuls against the cached
+    inverses when available (mixed path), trisolves otherwise.  HIGHEST
+    pins the f32-model case off the bf16 MXU lowering; fp64 is exact."""
+    hi = jax.lax.Precision.HIGHEST
+    if cache.Li is not None:
+        tmp1 = jnp.dot(cache.Li, Kus, precision=hi)
+    else:
+        tmp1 = jsl.solve_triangular(cache.L, Kus, lower=True)
+    if cache.LBi is not None:
+        tmp2 = jnp.dot(cache.LBi, tmp1, precision=hi)
+    else:
+        tmp2 = jsl.solve_triangular(cache.LB, tmp1, lower=True)
+    return tmp1, tmp2
 
 
 def predict_from_cache(params: SGPRParams, cache: SGPRPredictCache, Xnew,
@@ -616,8 +642,7 @@ def predict_from_cache(params: SGPRParams, cache: SGPRPredictCache, Xnew,
     """Per-batch SGPR posterior from a cache: O(S M^2) only."""
     Z = params.inducing_Z.value
     Kus = _k.K(params.kernel, Z, Xnew)  # [M, S]
-    tmp1 = jsl.solve_triangular(cache.L, Kus, lower=True)
-    tmp2 = jsl.solve_triangular(cache.LB, tmp1, lower=True)
+    tmp1, tmp2 = _cache_solves(cache, Kus)
     f_mean = tmp2.T @ cache.c + mean_apply(params.mean, Xnew)
     D = cache.c.shape[1]
     if full_cov:
