@@ -617,16 +617,24 @@ class Jax:
                 feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
             )
         elif optimizer == "scipy_tol":
-            # adaptive CG-tolerance schedule (first-party; no reference
-            # equivalent): tighten max_error 10x each time scipy converges
-            # with budget left — fixed-tolerance runs stall once line-search
-            # progress falls below the CG-slack objective jitter (PERF.md
-            # hard-variant diagnosis)
-            res = _training.scipy_tol_minimize(
-                loss_fn, model.loss_fn_tol(), model.params, carry,
-                num_steps, logger, tol_start=model.run_cfg.max_error,
-                feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
-            )
+            if model.kind not in _CGLB_KINDS or model.run_cfg.v_is_external:
+                # no CG in the loss (non-CGLB, or vzero/vjoint where v is
+                # external): the tolerance has no effect — plain bridge
+                res = _training.scipy_minimize(
+                    loss_fn, model.params, carry, num_steps, logger,
+                    feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
+                )
+            else:
+                # adaptive CG-tolerance schedule (first-party; no reference
+                # equivalent): tighten max_error 10x each time scipy
+                # converges with budget left — fixed-tolerance runs stall
+                # once line-search progress falls below the CG-slack
+                # objective jitter (PERF.md hard-variant diagnosis)
+                res = _training.scipy_tol_minimize(
+                    loss_fn, model.loss_fn_tol(), model.params, carry,
+                    num_steps, logger, tol_start=model.run_cfg.max_error,
+                    feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
+                )
         elif optimizer == "lbfgs":
             res = _training.lbfgs_minimize(
                 loss_fn, model.params, carry, num_steps, logger,
