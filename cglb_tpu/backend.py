@@ -540,14 +540,14 @@ class Jax:
         _ser.save_model_params(model.parameter_dict(), logdir)
 
     @classmethod
-    def save_checkpoint(cls, model: Model, logdir):
+    def save_checkpoint(cls, model: Model, logdir, extra: Dict = None):
         """Full-state checkpoint (params + CG warm start) — resume without
         the cold-start CG cost the reference pays (SURVEY.md 5.4)."""
         _ser.save_checkpoint(
             logdir,
             model.parameter_dict(),
             v0=model.v0,
-            extra={"kind": model.kind},
+            extra={"kind": model.kind, **(extra or {})},
         )
 
     @classmethod
@@ -560,6 +560,8 @@ class Jax:
         )
         if state.get("v0") is not None and model.v0 is not None:
             model.v0 = jnp.asarray(state["v0"], dtype=model.v0.dtype)
+        # resume metadata (e.g. iters_done) for callers that track budget
+        model.last_checkpoint_extra = state.get("extra", {}) or {}
         model._jit_cache.clear()
         return model
 
@@ -580,7 +582,15 @@ class Jax:
 
     @classmethod
     def optimize(cls, model: Model, datasets, num_steps: int,
-                 logger: Optional[Logger] = None, optimizer: str = None):
+                 logger: Optional[Logger] = None, optimizer: str = None,
+                 checkpoint_every: int = 0, checkpoint_dir=None,
+                 checkpoint_offset: int = 0):
+        """checkpoint_every > 0 (with checkpoint_dir): write a full-state
+        checkpoint every that-many accepted iterations, so a killed
+        protocol-length run resumes (CLI --ckpt-every/--resume) instead of
+        restarting — failure recovery the reference lacks (SURVEY.md 5.4).
+        checkpoint_offset: iterations already done before this call (resume
+        bookkeeping; recorded as extra["iters_done"])."""
         loss_fn = model.loss_fn()
         carry = model._carry_in()
 
@@ -595,6 +605,8 @@ class Jax:
         stats_fn = feval_stats if model.kind in _CGLB_KINDS else None
         data = model.data
 
+        _iters = {"n": checkpoint_offset}
+
         def sync_fn(params, state):
             # publish the live iterate so the Logger's metric closures (which
             # read from the model object) evaluate at CURRENT parameters —
@@ -602,6 +614,11 @@ class Jax:
             # model on every feval (pytorch/optimizer.py:42-46, gpflow Scipy)
             model.params = params
             model._carry_out(state)
+            if checkpoint_every and checkpoint_dir is not None:
+                _iters["n"] += 1
+                if _iters["n"] % checkpoint_every == 0:
+                    cls.save_checkpoint(model, checkpoint_dir,
+                                        extra={"iters_done": _iters["n"]})
 
         if optimizer is None or optimizer == "scipy":
             res = _training.scipy_minimize(

@@ -68,6 +68,8 @@ class _Action:
     num_steps: int = 0
     optimizer: Optional[str] = None
     metric_dst: Optional[Path] = None
+    ckpt_every: int = 0   # periodic full-state checkpoint interval (iters)
+    resume: bool = False  # continue from logdir/checkpoint.json if present
 
     def execute(self, model_cfg, param_file: Optional[str] = None) -> None:
         backend = self.session.backend
@@ -84,6 +86,14 @@ class _Action:
     def _train(self, backend, model) -> None:
         logdir = self.session.logdir
         datasets = self.dataset.to_tuple()
+        num_steps = self.num_steps
+        done = 0
+        ckpt = Path(logdir, "checkpoint.json")
+        if self.resume and ckpt.exists():
+            model = backend.load_checkpoint(model, ckpt)
+            done = int(getattr(model, "last_checkpoint_extra", {})
+                       .get("iters_done", 0))
+            num_steps = max(num_steps - done, 0)
         metrics_fn = backend.metrics_fn(model, datasets)
         logger = Logger(
             logdir,
@@ -92,8 +102,12 @@ class _Action:
             _HOLDOUT_INTERVAL,
             include_feval_log=True,
         )
-        res = backend.optimize(model, datasets, self.num_steps, logger,
-                               self.optimizer)
+        res = backend.optimize(model, datasets, num_steps, logger,
+                               self.optimizer,
+                               checkpoint_every=self.ckpt_every,
+                               checkpoint_dir=logdir if self.ckpt_every
+                               else None,
+                               checkpoint_offset=done)
         backend.save(model, logdir)
 
         meta = {"id": logdir, "data": self.dataset.provenance}
@@ -240,10 +254,17 @@ _optimizer_choices = click.Choice(
 @click.option("-n", "--num-steps", default=100, type=int)
 @click.option("-d", "--dataset", type=DatasetType(), required=True)
 @click.option("-o", "--optimizer", type=_optimizer_choices, default="scipy")
+@click.option("--ckpt-every", default=0, type=int,
+              help="write logdir/checkpoint.json (params + CG warm start) "
+                   "every K accepted iterations; 0 disables")
+@click.option("--resume", is_flag=True, default=False,
+              help="continue from logdir/checkpoint.json if present "
+                   "(remaining step budget = num-steps - iters already done)")
 @click.pass_context
-def train(ctx, dataset, num_steps, optimizer):
+def train(ctx, dataset, num_steps, optimizer, ckpt_every, resume):
     ctx.obj = _Action(session=ctx.obj, dataset=dataset, kind="train",
-                      num_steps=num_steps, optimizer=optimizer)
+                      num_steps=num_steps, optimizer=optimizer,
+                      ckpt_every=ckpt_every, resume=resume)
 
 
 @main.group()

@@ -144,6 +144,16 @@ def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
                 and results_marker.exists()):
             print(f"[skip] {cmd}")
             continue
+        # a checkpoint without results marks a killed run: resume it from
+        # the checkpoint instead of restarting (CLI --resume; the flag lives
+        # on the `train` group, so it goes right after that token)
+        if (not restart and logdir is not None
+                and Path(logdir, "checkpoint.json").exists()):
+            toks = shlex.split(cmd)
+            if "train" in toks and "--resume" not in toks:
+                toks.insert(toks.index("train") + 1, "--resume")
+                cmd = shlex.join(toks)
+                print(f"[resume] {cmd}")
         jobs.append((cmd, point))
 
     if dry_run:

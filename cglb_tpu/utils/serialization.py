@@ -76,7 +76,14 @@ def save_checkpoint(logdir, params_dict: Dict[str, np.ndarray],
         "v0": None if v0 is None else np.asarray(v0),
         "extra": extra or {},
     }
-    dump_json(state, Path(logdir) / "checkpoint.json")
+    # atomic replace: a crash mid-write (the scenario checkpoints exist for)
+    # must not leave a truncated checkpoint.json behind
+    import os
+
+    path = Path(logdir) / "checkpoint.json"
+    tmp = path.with_suffix(".json.tmp")
+    dump_json(state, tmp)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(filepath) -> Dict:

@@ -216,6 +216,42 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
     assert model2.cg_steps == 0
 
 
+def test_cli_periodic_checkpoint_and_resume(tmp_path):
+    """--ckpt-every writes a live full-state checkpoint during training and
+    --resume continues with the REMAINING step budget from it (failure
+    recovery for protocol-length runs; SURVEY.md 5.4)."""
+    from cglb_tpu.experiments.cli import main as cli_main
+
+    base = [
+        "-b", "jax", "-t", "fp64", "-l", str(tmp_path), "-s", "0",
+        "train", "-d", "synth_150x2", "-o", "scipy",
+    ]
+    tail = ["cglb", "-m", "cglb", "-k", "Matern32", "-i", "cv", "-M", "8"]
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_main, base + ["-n", "8", "--ckpt-every", "3"] + tail,
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    ckpt = load_json(tmp_path / "checkpoint.json")
+    done = ckpt["extra"]["iters_done"]
+    assert done >= 3 and done % 3 == 0
+    assert ckpt["v0"] is not None  # warm start travels with the checkpoint
+    loss_at_ckpt = load_json(tmp_path / "results.json")["loss"]
+
+    # resume with a larger budget: picks up the checkpoint, runs ONLY the
+    # remainder, and does not regress the loss
+    result = runner.invoke(
+        cli_main,
+        base + ["-n", str(done + 4), "--ckpt-every", "3", "--resume"] + tail,
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    results = load_json(tmp_path / "results.json")
+    assert results["opt/num_iters"] <= 4
+    assert results["loss"] <= loss_at_ckpt + 1e-6
+
+
 def test_dataset_provenance_marks_synthetic():
     """Synthetic stand-ins are visibly marked (VERDICT r1 missing #4): the
     bundle carries source='synthetic', a :synth display name, and the CLI

@@ -55,6 +55,35 @@ def test_sweep_runs_commands(tmp_path):
     assert Path(f"{marker}-1").exists() and Path(f"{marker}-2").exists()
 
 
+def test_sweep_resumes_killed_points(tmp_path):
+    """A point with a checkpoint.json but no results.json was killed
+    mid-run: the sweep re-issues it with --resume injected after the
+    `train` group token (failure recovery; SURVEY.md 5.4)."""
+    killed = tmp_path / "logs" / "killed"
+    fresh = tmp_path / "logs" / "fresh"
+    killed.mkdir(parents=True)
+    fresh.mkdir(parents=True)
+    (killed / "checkpoint.json").write_text("{}")
+    grid = tmp_path / "grid.toml"
+    grid.write_text(
+        '[sweep]\ncmd = "cli -l {logdir}/{name} train -n 5 leaf"\n'
+        f'logdir = "{tmp_path}/logs"\n'
+        "[sweep.grid]\nname = [\"killed\", \"fresh\"]\n"
+    )
+    cmds = []
+
+    def runner(cmd, env, lane):
+        cmds.append(cmd)
+        return 0
+
+    rc = run_sweep(grid, runner=runner, accel=(0, "cpu"))
+    assert rc == 0
+    by_name = {("killed" if "logs/killed" in c else "fresh"): c
+               for c in cmds}
+    assert "train --resume -n 5 leaf" in by_name["killed"]
+    assert "--resume" not in by_name["fresh"]
+
+
 def _write_fake_run(root, dataset, uid, seed, n_points=30):
     d = Path(root) / dataset / uid / str(seed)
     d.mkdir(parents=True)
