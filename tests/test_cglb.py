@@ -314,3 +314,52 @@ def test_cheap_cg_tier_bound_still_valid(rng):
     # operator error only loosens the reported error bound slightly)
     assert abs(float(b_cheap) - float(b_acc)) < 1.0
     assert np.isfinite(float(aux_cheap.cg_residual_error))
+
+
+def _walk_eqns(jaxpr):
+    """Yield (eqn, in_loop) over a jaxpr and every sub-jaxpr; in_loop marks
+    eqns inside a while_loop (the CG loop runs there)."""
+    stack = [(jaxpr, False)]
+    while stack:
+        jx, in_loop = stack.pop()
+        for eqn in jx.eqns:
+            child_in_loop = in_loop or eqn.primitive.name == "while"
+            yield eqn, in_loop
+            for v in eqn.params.values():
+                vals = v if isinstance(v, (list, tuple)) else [v]
+                for item in vals:
+                    inner = getattr(item, "jaxpr", None)
+                    if inner is not None:
+                        stack.append((inner, child_in_loop))
+                    elif hasattr(item, "eqns"):
+                        stack.append((item, child_in_loop))
+
+
+def test_training_graph_factorization_budget(rng):
+    """Compile-time regression guard (PERF.md "Compile time"): the mixed
+    CGLB loss+grad must keep cholesky/triangular_solve instances one-shot
+    and OUT of the CG while_loop — on TPU every such instance is an XLA
+    expander costing seconds of compile, and the round-2 graph had 10
+    preconditioner trisolves inside the loop."""
+    X, Y, params, _ = _setup(rng, n=96, m=16)
+    cfg = cglb.CGLBConfig(common_dtype="mixed")
+    v0 = cglb.init_v0(X.shape[0])
+
+    def vg(p, v, Xa, Ya):
+        (l, aux), g = jax.value_and_grad(
+            lambda q: cglb.loss(q, Xa, Ya, v, cfg), has_aux=True)(p)
+        leaves = jax.tree_util.tree_leaves(g)
+        return l + sum(jnp.sum(x) for x in leaves), aux
+
+    jx = jax.make_jaxpr(vg)(params, v0, X, Y).jaxpr
+    fact = {"cholesky": [], "triangular_solve": []}
+    for eqn, in_loop in _walk_eqns(jx):
+        if eqn.primitive.name in fact:
+            fact[eqn.primitive.name].append(in_loop)
+    # no factorization inside any while_loop (CG iterations, jitter retry
+    # runs chol in its own bounded while — allow cholesky there, it is ONE
+    # instance; trisolves must never iterate)
+    assert not any(fact["triangular_solve"]), fact
+    # one-shot instance budget: kuu-retry + B + preconditioner
+    assert 1 <= len(fact["cholesky"]) <= 3, fact
+    assert 1 <= len(fact["triangular_solve"]) <= 3, fact
