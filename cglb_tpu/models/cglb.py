@@ -337,7 +337,7 @@ def predict_prepare(params: SGPRParams, X, Y, v0,
     if mixed:
         from .sgpr import kuf_weighted
 
-        Ares = kuf_weighted(params, ct.L, X, res, sigma)
+        Ares = kuf_weighted(params, ct.L, X, res, sigma, Cinv=ct.Li)
     else:
         Ares = ct.A @ res
     if ct.LBi is not None:

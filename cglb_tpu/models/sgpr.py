@@ -406,11 +406,13 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
 
 
 def kuf_weighted(params: SGPRParams, L, X, W, sigma_scale,
-                 chunk_size: int = None):
+                 chunk_size: int = None, Cinv=None):
     """AW = L^-1 (Kuf @ W) / sigma_scale at fp64-grade without the [M, N]
     emulated-fp64 trisolve: df32 Kuf blocks + fp64 matmuls in one chunked
-    pass, then one small [M, D] solve.  Serves the prediction cache's
-    residual projection at scale (models/cglb.py predict_prepare)."""
+    pass, then one small [M, D] solve — or a matmul against ``Cinv``
+    (= L^-1, from the fused chol_inv) when the caller has it.  Serves the
+    prediction cache's residual projection at scale (models/cglb.py
+    predict_prepare)."""
     import jax
 
     Z = params.inducing_Z.value
@@ -436,6 +438,9 @@ def kuf_weighted(params: SGPRParams, L, X, W, sigma_scale,
             ),
             axis=0,
         )
+    if Cinv is not None:
+        return jnp.dot(Cinv, U,
+                       precision=jax.lax.Precision.HIGHEST) / sigma_scale
     return jsl.solve_triangular(L, U, lower=True) / sigma_scale
 
 
