@@ -119,7 +119,9 @@ def main():
     params = sgpr_mod.SGPRParams.create(kern, np.asarray(Z), noise_variance=0.1,
                                         dtype=np.float64)
     stage("building common terms")
-    ct = jax.jit(lambda pp: sgpr_mod.common_terms(pp, X))(params)
+    # mixed = the training default (gram-form fp64-grade terms); it also
+    # carries LB^-1 for the matmul-only preconditioner apply below
+    ct = jax.jit(lambda pp: sgpr_mod.common_terms(pp, X, mixed=True))(params)
     stage("common terms done")
     b = jnp.asarray(rng.normal(size=(1, n)))
 

@@ -584,15 +584,18 @@ class Jax:
     def optimize(cls, model: Model, datasets, num_steps: int,
                  logger: Optional[Logger] = None, optimizer: str = None,
                  checkpoint_every: int = 0, checkpoint_dir=None,
-                 checkpoint_offset: int = 0):
+                 checkpoint_offset: int = 0, resume_extra: Dict = None):
         """checkpoint_every > 0 (with checkpoint_dir): write a full-state
         checkpoint every that-many accepted iterations, so a killed
         protocol-length run resumes (CLI --ckpt-every/--resume) instead of
         restarting — failure recovery the reference lacks (SURVEY.md 5.4).
         checkpoint_offset: iterations already done before this call (resume
-        bookkeeping; recorded as extra["iters_done"])."""
+        bookkeeping; recorded as extra["iters_done"]).
+        resume_extra: the loaded checkpoint's extra dict — optimizer state
+        that must survive a kill (scipy_tol's live tolerance level)."""
         loss_fn = model.loss_fn()
         carry = model._carry_in()
+        live_extra: Dict = {}
 
         def feval_stats(state):
             if isinstance(state, _cglb.CGLBAux):
@@ -617,8 +620,9 @@ class Jax:
             if checkpoint_every and checkpoint_dir is not None:
                 _iters["n"] += 1
                 if _iters["n"] % checkpoint_every == 0:
-                    cls.save_checkpoint(model, checkpoint_dir,
-                                        extra={"iters_done": _iters["n"]})
+                    cls.save_checkpoint(
+                        model, checkpoint_dir,
+                        extra={"iters_done": _iters["n"], **live_extra})
 
         if optimizer is None or optimizer == "scipy":
             res = _training.scipy_minimize(
@@ -651,6 +655,10 @@ class Jax:
                     loss_fn, model.loss_fn_tol(), model.params, carry,
                     num_steps, logger, tol_start=model.run_cfg.max_error,
                     feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
+                    # live level rides into every checkpoint; a resumed run
+                    # re-enters the schedule where the killed one died
+                    on_level=lambda m: live_extra.update(max_error=m),
+                    tol_resume=(resume_extra or {}).get("max_error"),
                 )
         elif optimizer == "lbfgs":
             res = _training.lbfgs_minimize(

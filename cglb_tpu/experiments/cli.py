@@ -107,7 +107,9 @@ class _Action:
                                checkpoint_every=self.ckpt_every,
                                checkpoint_dir=logdir if self.ckpt_every
                                else None,
-                               checkpoint_offset=done)
+                               checkpoint_offset=done,
+                               resume_extra=getattr(
+                                   model, "last_checkpoint_extra", None))
         backend.save(model, logdir)
 
         meta = {"id": logdir, "data": self.dataset.provenance}

@@ -150,8 +150,15 @@ def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
         if (not restart and logdir is not None
                 and Path(logdir, "checkpoint.json").exists()):
             toks = shlex.split(cmd)
-            if "train" in toks and "--resume" not in toks:
-                toks.insert(toks.index("train") + 1, "--resume")
+            # the GROUP token, not an option value: skip any 'train' whose
+            # predecessor is a flag (e.g. `-d train`)
+            idx = next(
+                (i for i, t in enumerate(toks)
+                 if t == "train" and (i == 0 or not toks[i - 1].startswith("-"))),
+                None,
+            )
+            if idx is not None and "--resume" not in toks:
+                toks.insert(idx + 1, "--resume")
                 cmd = shlex.join(toks)
                 print(f"[resume] {cmd}")
         jobs.append((cmd, point))

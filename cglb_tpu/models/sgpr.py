@@ -489,8 +489,10 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
         A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size,
                                kernel_df32=mixed)
         B = AAT + jnp.eye(M, dtype=Z.dtype)
-        LB, LBi = chol_inv(B)
-        Li = None  # fp64-exact path keeps trisolves against L downstream
+        LB = jnp.linalg.cholesky(B)
+        # the exact path keeps backward-stable trisolves downstream
+        # (reference semantics): no inverses are materialized
+        LBi = Li = None
     return CommonTerms(A=A, AAT=AAT, B=B, LB=LB, L=L, LBi=LBi, Li=Li)
 
 

@@ -238,8 +238,15 @@ def scipy_tol_minimize(
     feval_stats_fn: Callable[[Any], dict] = None,
     data: tuple = (),
     sync_fn: Callable[[Any, Any], None] = None,
+    on_level: Callable[[float], None] = None,
+    tol_resume: float = None,
 ) -> OptimizeResult:
     """Adaptive CG-tolerance L-BFGS schedule (first-party improvement).
+
+    on_level: called with the live tolerance at each level start — the
+    backend checkpoints it so ``--resume`` can re-enter the schedule at
+    the level a killed run died in (``tol_resume``) instead of re-walking
+    the loose levels the iterate already escaped.
 
     Fixed-tolerance CGLB training stalls once true per-iteration
     improvements fall below the CG stopping slack's objective jitter
@@ -265,6 +272,14 @@ def scipy_tol_minimize(
     level is about to break.  A spurious L-BFGS-B early stop (the bug the
     2-attempt default works around) simply tightens one level early, which
     costs nothing — the tightened level restarts from the same point.
+    The FLOOR level has no next level to restart into, so it alone runs
+    with the standard 2-attempt early-stop workaround.
+
+    Contract: ``loss_fn`` is the tol_start-level objective — its baked-in
+    CG tolerance must equal ``tol_start`` (the backend call site passes
+    ``run_cfg.max_error`` for both).  Level 0 runs it unchanged so the
+    plain-scipy compiled program (cheap CG tier) is reused; only tightened
+    levels pay the loss_fn_tol compile.
     """
     total = 0
     remaining = num_steps
@@ -275,11 +290,22 @@ def scipy_tol_minimize(
     me = float(tol_start)
     res = None
     first = True
+    if tol_resume is not None:
+        me = float(tol_resume)
+        # loss_fn is only valid at tol_start (see contract above); a
+        # resumed mid-schedule level must run the tol-parameterized program
+        first = me >= float(tol_start) * (1.0 - 1e-12)
     while remaining > 0:
+        at_floor = me <= tol_floor * (1.0 + 1e-12)
+        if on_level is not None:
+            on_level(me)
+        # the floor level is the last: give it the 2-attempt early-stop
+        # workaround the intermediate levels get from their next level
+        att = max(attempts_per_level, 2) if at_floor else attempts_per_level
         if first:
             res = scipy_minimize(
                 loss_fn, params, state, remaining, logger,
-                attempts=attempts_per_level, feval_stats_fn=feval_stats_fn,
+                attempts=att, feval_stats_fn=feval_stats_fn,
                 data=data, sync_fn=sync_fn,
             )
         else:
@@ -288,7 +314,7 @@ def scipy_tol_minimize(
                 me, dtype=data[0].dtype if data else None)
             res = scipy_minimize(
                 loss_fn_tol, params, state, remaining, logger,
-                attempts=attempts_per_level, feval_stats_fn=feval_stats_fn,
+                attempts=att, feval_stats_fn=feval_stats_fn,
                 data=tuple(data) + (me_arr,), sync_fn=sync_fn, vg=vg_tol,
                 _reset_timer=False,
             )
@@ -303,7 +329,7 @@ def scipy_tol_minimize(
             "attempts": res.info["opt/attempts"],
         })
         params, state = res.params, res.state
-        if me <= tol_floor * (1.0 + 1e-12):
+        if at_floor:
             break
         me = max(me * tol_factor, tol_floor)
         first = False

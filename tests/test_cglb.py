@@ -335,12 +335,7 @@ def _walk_eqns(jaxpr):
                         stack.append((item, child_in_loop))
 
 
-def test_training_graph_factorization_budget(rng):
-    """Compile-time regression guard (PERF.md "Compile time"): the mixed
-    CGLB loss+grad must keep cholesky/triangular_solve instances one-shot
-    and OUT of the CG while_loop — on TPU every such instance is an XLA
-    expander costing seconds of compile, and the round-2 graph had 10
-    preconditioner trisolves inside the loop."""
+def _factorization_census(rng):
     X, Y, params, _ = _setup(rng, n=96, m=16)
     cfg = cglb.CGLBConfig(common_dtype="mixed")
     v0 = cglb.init_v0(X.shape[0])
@@ -356,10 +351,36 @@ def test_training_graph_factorization_budget(rng):
     for eqn, in_loop in _walk_eqns(jx):
         if eqn.primitive.name in fact:
             fact[eqn.primitive.name].append(in_loop)
-    # no factorization inside any while_loop (CG iterations, jitter retry
-    # runs chol in its own bounded while — allow cholesky there, it is ONE
-    # instance; trisolves must never iterate)
+    return fact
+
+
+def test_training_graph_factorization_budget(rng, monkeypatch):
+    """Compile-time regression guard (PERF.md "Compile time"): the mixed
+    CGLB loss+grad must keep cholesky/triangular_solve instances one-shot
+    and OUT of the CG while_loop — on TPU every such instance is an XLA
+    expander costing seconds of compile, and the round-2 graph had 10
+    preconditioner trisolves inside the loop.  Expander mode pinned so the
+    census is platform-independent (blocked mode is censused below)."""
+    from cglb_tpu.ops import chol64
+
+    monkeypatch.setattr(chol64, "ALGO", "expander")
+    fact = _factorization_census(rng)
+    # no trisolve inside any while_loop: the CG loop's preconditioner
+    # applies are matmuls (the jitter retry runs only a cholesky there)
     assert not any(fact["triangular_solve"]), fact
     # one-shot instance budget: kuu-retry + B + preconditioner
     assert 1 <= len(fact["cholesky"]) <= 3, fact
     assert 1 <= len(fact["triangular_solve"]) <= 3, fact
+
+
+def test_training_graph_factorization_budget_blocked(rng, monkeypatch):
+    """Blocked mode (the TPU production path at M >= 512): the blocked
+    kernels add a small bounded set of instances inside their own
+    scan/while bodies — still O(1), never proportional to CG iterations."""
+    from cglb_tpu.ops import chol64
+
+    monkeypatch.setattr(chol64, "ALGO", "blocked")
+    monkeypatch.setattr(chol64, "BLOCK", 8)
+    fact = _factorization_census(rng)
+    assert 1 <= len(fact["cholesky"]) <= 5, fact
+    assert 1 <= len(fact["triangular_solve"]) <= 6, fact

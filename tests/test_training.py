@@ -153,6 +153,34 @@ def test_scipy_tol_minimize_levels_and_depth(rng):
     assert res.final_loss <= res_fixed.final_loss + 1e-6
 
 
+def test_scipy_tol_resume_reenters_at_recorded_level(rng):
+    """tol_resume (from a killed run's checkpoint) re-enters the schedule
+    at the recorded level using the tol-parameterized program, instead of
+    re-walking the loose levels; on_level reports the live level."""
+    X, Y = _data(rng, n=100, d=2)
+    params = _sgpr_params(rng, X, Y, m=8)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    cfg = cglb_mod.CGLBConfig()
+    v0 = cglb_mod.init_v0(X.shape[0])
+
+    def loss_fn(p, carry, Xa, Ya):
+        v = carry.v if isinstance(carry, cglb_mod.CGLBAux) else carry
+        return cglb_mod.loss(p, Xa, Ya, v, cfg)
+
+    def loss_fn_tol(p, carry, Xa, Ya, me):
+        v = carry.v if isinstance(carry, cglb_mod.CGLBAux) else carry
+        return cglb_mod.loss(p, Xa, Ya, v, cfg, max_error=me)
+
+    seen = []
+    res = training.scipy_tol_minimize(
+        loss_fn, loss_fn_tol, params, v0, 120, data=(Xj, Yj),
+        tol_resume=0.1, on_level=seen.append)
+    mes = [lv["max_error"] for lv in res.info["opt/levels"]]
+    assert mes[0] == pytest.approx(0.1)  # no re-walk of the 1.0 level
+    assert seen == mes
+    assert all(m <= 0.1 + 1e-12 for m in mes)
+
+
 def test_lbfgs_minimize_on_device(rng):
     X, Y = _data(rng)
     params = _sgpr_params(rng, X, Y)
