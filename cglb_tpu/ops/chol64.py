@@ -71,10 +71,16 @@ BLOCK = 256
 
 
 def _use_blocked(M: int, dtype) -> bool:
+    # f32 too: the preconditioner's [M, M] chol/tri-inv (models/cglb.
+    # _make_precond) is an expander instance in every training graph; its
+    # f32 expander compile cost scales with M like the fp64 one (minus the
+    # X64 rewrite), while the blocked runtime difference is a few ms ONCE
+    # per objective.  The blocked matmuls run at HIGHEST so f32 never
+    # drops to bf16 MXU passes.
     if ALGO == "auto":
         return (
             jax.default_backend() == "tpu"
-            and dtype == jnp.float64
+            and dtype in (jnp.float64, jnp.float32)
             and M % BLOCK == 0
             and M >= 2 * BLOCK
         )

@@ -137,6 +137,23 @@ def test_blocked_chol_ill_conditioned(rng, monkeypatch):
     assert float(jnp.max(jnp.abs(resid))) < 1e-8  # eps64 * kappa envelope
 
 
+def test_blocked_chol_f32_matches_native(rng, monkeypatch):
+    """f32 blocked path (the TPU preconditioner case): parity with the
+    native op at f32 tolerances — the HIGHEST pins keep the Schur updates
+    off the bf16 MXU lowering."""
+    monkeypatch.setattr(chol64, "ALGO", "blocked")
+    monkeypatch.setattr(chol64, "BLOCK", 64)
+    M = 256
+    P = _spd(rng, M).astype(jnp.float32)
+    P = 0.5 * (P + P.T)
+    L_b = jax.jit(chol64._chol)(P)
+    L_n = jnp.linalg.cholesky(P)
+    np.testing.assert_allclose(L_b, L_n, rtol=2e-5, atol=2e-6)
+    C_b = jax.jit(chol64._tri_inv)(L_n)
+    C_n = jsl.solve_triangular(L_n, jnp.eye(M, dtype=P.dtype), lower=True)
+    np.testing.assert_allclose(C_b, C_n, rtol=2e-4, atol=2e-5)
+
+
 def test_blocked_chol_nan_propagates_to_retry(monkeypatch):
     """An indefinite block makes the blocked factorization non-finite, so
     chol_inv_retry's finite check escalates the jitter exactly as with the
