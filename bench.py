@@ -16,9 +16,34 @@ reference repo publishes no numbers — BASELINE.json "published": {}).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _probe_platform(timeout=120):
+    """Discover the JAX platform in a bounded subprocess.
+
+    The axon TPU tunnel can hang or raise UNAVAILABLE at backend init
+    (BENCH_r03.json was lost to exactly this); probing in a child process
+    with a hard timeout means the parent never crashes or hangs.  Returns
+    the platform string ("tpu"/"axon"/"cpu") or None if the probe failed.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('PLATFORM=' + jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout, text=True,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("PLATFORM="):
+                return line.split("=", 1)[1].strip()
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    return None
 
 
 def _bench(fn, *args, iters=20, warmup=2):
@@ -36,7 +61,6 @@ def _bench(fn, *args, iters=20, warmup=2):
 
 def main():
     import faulthandler
-    import sys
 
     faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
 
@@ -44,7 +68,22 @@ def main():
         print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
               flush=True)
 
+    # Bounded platform discovery BEFORE importing jax in this process: if the
+    # TPU tunnel is down/hanging, fall back to a forced-CPU run tagged
+    # tpu_unavailable rather than crashing the graded capture.
+    # CGLB_BENCH_PLATFORM=cpu skips the probe (testing/ops override).
+    platform = os.environ.get("CGLB_BENCH_PLATFORM") or _probe_platform()
+    tpu_unavailable = platform not in ("tpu", "axon")
+    if tpu_unavailable:
+        stage(f"TPU probe failed (got {platform!r}); forcing CPU run")
+
     import jax
+
+    if tpu_unavailable:
+        # env vars alone are NOT enough: the axon site hook overrides
+        # JAX_PLATFORMS; jax.config wins as long as no backend initialized
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from cglb_tpu.models import sgpr as sgpr_mod
@@ -53,7 +92,7 @@ def main():
     from cglb_tpu.ops import matvec_pallas as mv
     from cglb_tpu.ops import preconditioners as pc
 
-    on_accel = jax.devices()[0].platform in ("tpu", "axon")
+    on_accel = not tpu_unavailable
     # north-star shape (kin40k); pad-friendly N
     n, d, m = (40960, 8, 2048) if on_accel else (4096, 8, 256)
     blk = 1024 if on_accel else 256
@@ -173,8 +212,19 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    if tpu_unavailable:
+        result["tpu_unavailable"] = True
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — graded capture must stay parsable
+        print(json.dumps({
+            "metric": "cg_matvec_tflops",
+            "value": 0.0,
+            "unit": "TFLOP/s",
+            "vs_baseline": 0.0,
+            "skipped": f"{type(exc).__name__}: {exc}"[:500],
+        }))
