@@ -284,6 +284,66 @@ def _gram_outer_bwd(res, dG):
 _gram_outer.defvjp(_gram_outer_fwd, _gram_outer_bwd)
 
 
+@jax.custom_vjp
+def _mm_f64grade(A, B):
+    """C = A @ B at fp64 grade with a cheap analytic backward.
+
+    The general-matmul companion to :func:`_gram_outer`, for the mixed
+    path's remaining [M, M] fp64 products (the AAT sandwich Cinv G Cinv^T
+    and the Cinv @ U projections).  On TPU the forward runs the signed
+    int8-limb exact scheme (ops/intgram.matmul_exact_int8, per-row/column
+    power-of-two scaling — both fp64-grade and ~10x cheaper than the
+    emulated-fp64 dot, PERF.md); on CPU the native fp64 matmul is already
+    both.  The backward mirrors the forward's platform split: f32-HIGHEST
+    (exact bf16x6 products) on TPU where emulated-fp64 matmuls are the
+    cost, native fp64 on CPU where they are free — gradients only feed
+    descent directions, and the ~3e-6 relative f32 error is far below
+    line-search sensitivity (same argument as _gram_outer_bwd)."""
+    if _gram_forward_algo() == "int8" and A.shape[1] <= MAX_INTGRAM_K():
+        from ..ops.intgram import matmul_exact_int8
+
+        return matmul_exact_int8(A, B)
+    return A @ B
+
+
+def MAX_INTGRAM_K():
+    from ..ops.intgram import MAX_K
+
+    return MAX_K
+
+
+def _mm_f64grade_fwd(A, B):
+    return _mm_f64grade(A, B), (A, B)
+
+
+# Backward algorithm for _mm_f64grade, SEPARATE from the forward switch so
+# the backward stays identical across forward algos (the mixed-path grad
+# tests pin int8-vs-fp64 forward differences at fp64 grade): "auto" = f32 on
+# TPU (native fp64 matmuls don't exist there), fp64 elsewhere.
+MM_BACKWARD = "auto"
+
+
+def _mm_backward_algo():
+    if MM_BACKWARD == "auto":
+        return "f32" if jax.default_backend() == "tpu" else "fp64"
+    return MM_BACKWARD
+
+
+def _mm_f64grade_bwd(res, dC):
+    A, B = res
+    if _mm_backward_algo() == "f32":
+        dCf = dC.astype(jnp.float32)
+        dA = jnp.dot(dCf, B.astype(jnp.float32).T,
+                     precision=jax.lax.Precision.HIGHEST)
+        dB = jnp.dot(A.astype(jnp.float32).T, dCf,
+                     precision=jax.lax.Precision.HIGHEST)
+        return dA.astype(A.dtype), dB.astype(B.dtype)
+    return dC @ B.T, A.T @ dC
+
+
+_mm_f64grade.defvjp(_mm_f64grade_fwd, _mm_f64grade_bwd)
+
+
 def _aat_sandwich(L, G, sigma_scale):
     """AAT = L^-1 G L^-T / sigma_scale^2 via two [M, M] trisolves,
     symmetrized (the two solves round differently above/below the
@@ -390,14 +450,18 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
             else None
 
     if Cinv is not None:
-        AAT = (Cinv @ G @ Cinv.T) / (sigma_scale * sigma_scale)
+        # both [M, M] products at fp64 grade WITHOUT the emulated-fp64 dot
+        # (int8-limb exact on TPU; ~0.15-0.25 s/feval at M=2048, PERF.md)
+        AAT = _mm_f64grade(_mm_f64grade(Cinv, G), Cinv.T) / (
+            sigma_scale * sigma_scale
+        )
         AAT = 0.5 * (AAT + AAT.T)
     else:
         AAT = _aat_sandwich(L, G, sigma_scale)
     AW = None
     if W is not None:
         if Cinv is not None:
-            AW = (Cinv @ U) / sigma_scale
+            AW = _mm_f64grade(Cinv, U) / sigma_scale
         else:
             AW = jsl.solve_triangular(L, U, lower=True) / sigma_scale
     if not with_a:

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gram_exact_int8", "NUM_LIMBS", "MAX_K"]
+__all__ = ["gram_exact_int8", "matmul_exact_int8", "NUM_LIMBS", "MAX_K"]
 
 NUM_LIMBS = 8
 # int32 accumulation bound: 127^2 * k < 2^31  =>  k < 133k; callers above
@@ -117,3 +117,95 @@ def gram_exact_int8(kuf, var):
                 P.astype(kuf.dtype)
             )
     return G
+
+
+# ---------------------------------------------------------------------------
+# General (signed, rectangular) exact matmul — the AAT-sandwich killer.
+# ---------------------------------------------------------------------------
+
+
+def _row_scales(absmax):
+    """Per-slice power-of-two scale with absmax / s in (0.25, 0.5].
+
+    Same ldexp-in-f32 route as _pow2_scale (exact bit manipulation; fp64
+    ldexp is rejected by the TPU X64 rewriter).  All-zero slices get s=1 so
+    the division below stays finite (their limbs are all zero anyway)."""
+    safe = jnp.where(absmax > 0.0, absmax, 1.0)
+    e = jnp.floor(jnp.log2(safe)) + 2.0
+    one = jnp.ones((), dtype=jnp.float32)
+    return jnp.ldexp(one, e.astype(jnp.int32)).astype(absmax.dtype)
+
+
+def _signed_limb_planes(q):
+    """Eight signed int8 limb planes of round(q * 2^53), |q| <= 0.5.
+
+    Sign-magnitude: extract the 7-bit limbs of |q| exactly as _limb_planes,
+    then fold the sign into every plane, so q = 2^-53 * sum_m plane_m 2^(7m)
+    with plane entries in [-127, 127] (int8-representable; products still
+    bounded by 127^2 so int32 accumulation stays exact up to MAX_K)."""
+    sgn = jnp.where(q < 0.0, -1, 1).astype(jnp.int32)
+    nq = jnp.round(jnp.abs(q) * np.float64(2.0**53))
+    hi = jnp.floor(nq * np.float64(2.0**-28))
+    lo = nq - hi * np.float64(2.0**28)
+    hi32 = hi.astype(jnp.int32)
+    lo32 = lo.astype(jnp.int32)
+    planes = []
+    for m in range(NUM_LIMBS):
+        base = 7 * m
+        if base >= 28:
+            plane = jnp.right_shift(hi32, base - 28) & 127
+        else:
+            plane = jnp.right_shift(lo32, base) & 127
+        planes.append((plane * sgn).astype(jnp.int8))
+    return planes
+
+
+def matmul_exact_int8(A, B):
+    """C = A @ B to fp64 grade via signed int8-limb MXU matmuls.
+
+    The mixed common-terms path's remaining emulated-fp64 [M, M] matmuls
+    (the AAT sandwich ``Cinv @ G @ Cinv^T`` and ``Cinv @ U``,
+    models/sgpr._gram_terms) have no entry-sign or entry-bound structure to
+    exploit, so unlike :func:`gram_exact_int8` this uses *per-row* (A) and
+    *per-column* (B) power-of-two scales: A = diag(sa) qa, B = qb diag(sb)
+    with |q| in [0, 0.5], division exact.  Then
+
+        C = diag(sa) (2^-106 sum_{m,m'} 2^(7(m+m')) Pa_m @ Pb_{m'}) diag(sb)
+
+    with every Pa_m @ Pb_{m'} an exact int8->int32 MXU matmul.  Pairs with
+    m + m' <= 5 are dropped (< k * 2^-51 of the per-entry bound
+    sa_i sb_j k / 4 — below the fp64 matmul's own ~k*eps64 rounding enve-
+    lope); no symmetry halving is available, so 43 of 64 pairs run.
+
+    Row/column scaling makes the error *rowwise/columnwise* relative: each
+    C_ij carries absolute error ~ k * eps64 * max_k|A_ik| * max_k|B_kj| —
+    the same envelope as the fp64 matmul's |A||B| error bound up to the
+    usual cancellation caveat shared by both.
+
+    Gradients do not flow (consumers wrap this in custom_vjp with an
+    f32-HIGHEST analytic backward, models/sgpr._mm_f64grade)."""
+    if A.shape[1] > MAX_K:
+        raise ValueError(
+            f"contraction dim {A.shape[1]} overflows the int32 "
+            f"accumulator; chunk to <= {MAX_K}"
+        )
+    sa = _row_scales(jnp.max(jnp.abs(A), axis=1))  # [M]
+    sb = _row_scales(jnp.max(jnp.abs(B), axis=0))  # [N]
+    qa = A / sa[:, None]
+    qb = B / sb[None, :]
+    planes_a = _signed_limb_planes(qa)
+    planes_b = _signed_limb_planes(qb)
+    C = jnp.zeros((A.shape[0], B.shape[1]), dtype=A.dtype)
+    for m in range(NUM_LIMBS):
+        for mp in range(NUM_LIMBS):
+            if m + mp <= 5:
+                continue  # below the fp64 rounding floor (docstring)
+            P = jax.lax.dot_general(
+                planes_a[m], planes_b[mp],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            C = C + np.float64(2.0 ** (7 * (m + mp) - 106)) * (
+                P.astype(A.dtype)
+            )
+    return C * sa[:, None] * sb[None, :]

@@ -44,6 +44,95 @@ def test_gram_int8_rejects_overflow_k():
         intgram.gram_exact_int8(kuf, jnp.asarray(1.0))
 
 
+@pytest.mark.parametrize("shape", [(40, 700, 40), (64, 128, 16), (8, 512, 1)])
+def test_matmul_int8_matches_fp64(rng, shape):
+    """Signed rectangular A @ B to rowwise/columnwise fp64 grade."""
+    m, k, n = shape
+    # wildly varying row/column magnitudes + signs (the Cinv/G regime)
+    A = rng.normal(size=(m, k)) * np.exp(rng.uniform(-8, 8, size=(m, 1)))
+    B = rng.normal(size=(k, n)) * np.exp(rng.uniform(-8, 8, size=(1, n)))
+    want = np.asarray(jnp.asarray(A) @ jnp.asarray(B))
+    got = np.asarray(intgram.matmul_exact_int8(jnp.asarray(A),
+                                               jnp.asarray(B)))
+    # error envelope: k * eps64 * rowmax(A) * colmax(B) (docstring)
+    scale = (np.max(np.abs(A), axis=1, keepdims=True)
+             * np.max(np.abs(B), axis=0, keepdims=True) * k)
+    err = np.max(np.abs(got - want) / scale)
+    assert err < 1e-14, err
+
+
+def test_matmul_int8_exact_on_representable_values(rng):
+    """<=26-bit significands (incl. negatives) reconstruct bit-exactly."""
+    m, k, n = 16, 256, 12
+    A = np.round(rng.normal(size=(m, k)) * 2**20) / 2**22
+    B = np.round(rng.normal(size=(k, n)) * 2**20) / 2**22
+    want = np.asarray(jnp.asarray(A) @ jnp.asarray(B))
+    got = np.asarray(intgram.matmul_exact_int8(jnp.asarray(A),
+                                               jnp.asarray(B)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_matmul_int8_zero_rows_and_cols(rng):
+    """All-zero rows/columns are finite-safe (scale guard)."""
+    A = rng.normal(size=(6, 64))
+    B = rng.normal(size=(64, 5))
+    A[2] = 0.0
+    B[:, 3] = 0.0
+    got = np.asarray(jax.jit(intgram.matmul_exact_int8)(
+        jnp.asarray(A), jnp.asarray(B)))
+    want = A @ B
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=0, atol=64 * 1e-16
+                               * np.max(np.abs(A)) * np.max(np.abs(B)))
+    np.testing.assert_array_equal(got[2], 0.0)
+    np.testing.assert_array_equal(got[:, 3], 0.0)
+
+
+def test_matmul_int8_rejects_overflow_k():
+    A = jnp.zeros((2, intgram.MAX_K + 1), dtype=jnp.float64)
+    B = jnp.zeros((intgram.MAX_K + 1, 2), dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        intgram.matmul_exact_int8(A, B)
+
+
+def test_mm_f64grade_sandwich_matches_fp64(rng, monkeypatch):
+    """The AAT sandwich through _mm_f64grade (int8 forced) matches the
+    plain fp64 sandwich to fp64 grade, and its custom backward stays
+    finite and close to the autodiff-through-matmul gradients."""
+    from cglb_tpu.models import sgpr
+
+    m = 48
+    L = np.tril(rng.normal(size=(m, m))) + 4.0 * np.eye(m)
+    Cinv = np.linalg.inv(L)
+    G0 = rng.normal(size=(m, 3 * m))
+    G = G0 @ G0.T  # SPD-ish, symmetric
+
+    def sandwich(c, g):
+        t = sgpr._mm_f64grade(c, g)
+        s = sgpr._mm_f64grade(t, c.T)
+        return 0.5 * (s + s.T)
+
+    want = 0.5 * ((Cinv @ G @ Cinv.T) + (Cinv @ G @ Cinv.T).T)
+    monkeypatch.setattr(sgpr, "GRAM_FORWARD", "int8")
+    got = np.asarray(sandwich(jnp.asarray(Cinv), jnp.asarray(G)))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-13)
+
+    # gradients: the TPU-production combination (int8 forward + f32-HIGHEST
+    # backward) vs fp64 autodiff of the plain matmuls
+    w = jnp.asarray(rng.normal(size=(m, m)))
+    monkeypatch.setattr(sgpr, "MM_BACKWARD", "f32")
+    g_int8 = jax.grad(
+        lambda c: jnp.sum(sandwich(c, jnp.asarray(G)) * w))(jnp.asarray(Cinv))
+    monkeypatch.setattr(sgpr, "GRAM_FORWARD", "fp64")
+    monkeypatch.setattr(sgpr, "MM_BACKWARD", "fp64")
+    g_ref = jax.grad(
+        lambda c: jnp.sum(sandwich(c, jnp.asarray(G)) * w))(jnp.asarray(Cinv))
+    a, b = np.asarray(g_ref), np.asarray(g_int8)
+    s = max(np.max(np.abs(a)), 1e-12)
+    np.testing.assert_allclose(b / s, a / s, atol=3e-6)
+
+
 def test_gram_terms_int8_forward_matches_fp64(rng, monkeypatch):
     """The whole mixed common-terms path under GRAM_FORWARD='int8' matches
     the fp64-matmul forward to fp64 grade (value AND gradients)."""
