@@ -178,12 +178,29 @@ class Model:
         holds once the schedule tightens below ~0.5."""
         if self.kind not in _CGLB_KINDS:
             raise ValueError("adaptive CG tolerance requires a CGLB model")
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "scipy_tol is single-device for now: the sharded loss bakes "
-                "cfg.max_error in statically (parallel/sharded.py)")
         cfg = self.run_cfg
         joint = cfg.joint_optimization and not cfg.vzero
+        if self.mesh is not None:
+            # sharded variant: same traced-tolerance threading; the sharded
+            # streaming matvec always contracts at HIGHEST so no tier switch
+            # is needed as the schedule tightens
+            from .parallel.sharded import sharded_cglb_loss
+
+            mesh = self.mesh
+            mode = self.matvec_mode
+            if mode == "auto":
+                n = self.data[0].shape[0]
+                mode = ("streaming" if n >= self.STREAMING_THRESHOLD
+                        else "dense")
+
+            def fn(params, carry, X, Y, max_error):
+                v0 = carry.v if isinstance(carry, _cglb.CGLBAux) else carry
+                if joint and params.v0 is not None:
+                    v0 = params.v0.value
+                return sharded_cglb_loss(params, X, Y, v0, cfg, mesh,
+                                         matvec=mode, max_error=max_error)
+
+            return fn
         make_pair = self._matvec_factory(pair=True)
 
         def fn(params, carry, X, Y, max_error):

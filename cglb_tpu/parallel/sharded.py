@@ -107,7 +107,12 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
             _sgpr._gram_outer(kuf, params.kernel.variance.value),
             P(),
         )  # per-shard partials + psum
-        AAT = (Cinv @ G @ Cinv.T) / params.noise_variance.value
+        # _mm_f64grade: int8-limb exact forward on TPU, platform-split
+        # backward — same primitive as the single-device sandwich so the
+        # layouts cannot drift (models/sgpr._gram_terms)
+        AAT = _sgpr._mm_f64grade(
+            _sgpr._mm_f64grade(Cinv, G), Cinv.T
+        ) / params.noise_variance.value
         AAT = 0.5 * (AAT + AAT.T)
         A = jnp.dot(
             Cinv.astype(a_dtype), kuf.astype(a_dtype),
@@ -129,7 +134,8 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
 
 def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
                       jitter: float = None, matvec: str = "dense",
-                      block: int = 512) -> Tuple[jnp.ndarray, CGLBAux]:
+                      block: int = 512,
+                      max_error=None) -> Tuple[jnp.ndarray, CGLBAux]:
     """CGLB loss with all N-sized tensors sharded over the mesh's data axis.
 
     Same math and CG as models.cglb.loss, honoring cfg.common_dtype the same
@@ -140,6 +146,11 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
     caps N at ~200k/chip); "streaming" runs the Pallas tile kernel per column
     shard (K never in HBM — the multi-chip large-N path, SURVEY.md 5.7/5.8).
     block: streaming tile size; the padded N must divide mesh_size * block.
+    max_error: optional TRACED override of cfg.max_error (scalar jit
+    argument), mirroring models.cglb.loss — one compiled program serves
+    every level of the adaptive-tolerance schedule (-o scipy_tol) on the
+    sharded path too (the sharded streaming matvec always contracts at
+    HIGHEST, so tight tolerances are sound here without a tier switch).
     """
     from .. import config as _config
     from . import streaming as _streaming
@@ -167,6 +178,7 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
     else:
         raise ValueError(f"unknown sharded matvec mode {matvec!r}")
     quad, aux = _cglb._quad_form_bound(params, ct, X, Y, v0, cfg, mv,
+                                       max_error=max_error,
                                        consistent_ct=not gram)
     b += quad
     return -b, aux

@@ -227,3 +227,48 @@ def test_backend_mesh_streaming_training(tmp_path):
     Jax.optimize(m, (bundle.train, bundle.test), num_steps=2,
                  optimizer="adam_0.01")
     assert np.isfinite(m.loss_value())
+
+
+def test_sharded_loss_traced_max_error_matches_single_device(mesh8, rng):
+    """The traced-tolerance override threads through the sharded loss: values
+    match the single-device traced path at every level, and all levels share
+    ONE compiled program (the scipy_tol contract, backend.loss_fn_tol)."""
+    X, Y, params = _setup(rng)
+    cfg = cglb_mod.CGLBConfig(max_cg_iters=200)
+    v0 = cglb_mod.init_v0(X.shape[0])
+    Xs, Ys = sharded.shard_data(mesh8, X, Y)
+
+    f_sh = jax.jit(
+        lambda p, v, me: sharded.sharded_cglb_loss(
+            p, Xs, Ys, v, cfg, mesh8, max_error=me)
+    )
+    for me in (1.0, 1e-2):
+        l_ref, _ = cglb_mod.loss(params, X, Y, v0, cfg,
+                                 max_error=jnp.asarray(me))
+        l_sh, _ = f_sh(params, v0, jnp.asarray(me))
+        # reduction order differs across layouts; the slack-dependent CG
+        # stop amplifies the last-bit noise to ~1e-8 relative
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-7)
+    assert f_sh._cache_size() == 1  # one program serves every level
+
+
+def test_scipy_tol_under_mesh(mesh8, rng):
+    """-o scipy_tol on the sharded path: the schedule walks levels over the
+    mesh (round-3 NotImplementedError dropped) and matches the single-device
+    schedule's reachable depth."""
+    from cglb_tpu.backend import Model
+    from cglb_tpu.utils import training
+
+    X, Y, params = _setup(rng, n=64, d=3, m=8)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+
+    model = Model("cglb", params, (Xn, Yn), run_cfg=cglb_mod.CGLBConfig(),
+                  mesh=mesh8)
+    res = training.scipy_tol_minimize(
+        model.loss_fn(), model.loss_fn_tol(), model.params,
+        model._carry_in(), 120, data=model.data)
+    mes = [lv["max_error"] for lv in res.info["opt/levels"]]
+    assert mes[0] == pytest.approx(1.0)
+    assert mes == sorted(mes, reverse=True)
+    assert mes[-1] == pytest.approx(1e-2)
+    assert np.isfinite(res.final_loss)
