@@ -114,7 +114,21 @@ class _Action:
 
         meta = {"id": logdir, "data": self.dataset.provenance}
         meta.update(getattr(res, "info", None) or {})
-        dump_json({**metrics_fn(), **meta}, Path(logdir, "results.json"))
+        # train-time CG cost stats: the final-eval `cg/steps` in the metrics
+        # is a post-convergence artifact (CG at the converged warm start
+        # takes ~0 steps — the reference shares this flaw, tensorflow/
+        # interface.py:424-427); protocol audits need the per-feval series
+        # summarized alongside it.
+        train_stats = {}
+        for key in ("cg/steps", "cg/error"):
+            series = logger.logs.get(f"{key}-per-feval") or []
+            finite = np.asarray(
+                [v for v in series if np.isfinite(v)], dtype=float)
+            if finite.size:
+                train_stats[f"{key}_train_mean"] = float(finite.mean())
+                train_stats[f"{key}_train_max"] = float(finite.max())
+        dump_json({**metrics_fn(), **train_stats, **meta},
+                  Path(logdir, "results.json"))
         dump_json({**logger.logs, **meta}, Path(logdir, "logs.json"))
 
     def _metric(self, backend, model) -> None:

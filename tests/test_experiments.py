@@ -138,6 +138,11 @@ def test_cli_end_to_end_train_cglb(tmp_path):
     assert (tmp_path / "model.json").exists()
     results = load_json(tmp_path / "results.json")
     assert np.isfinite(results["cg_lower_bound"])
+    # train-time CG cost summaries (the final-eval cg/steps is a
+    # post-convergence artifact; see cli._train)
+    assert results["cg/steps_train_mean"] > 0
+    assert results["cg/steps_train_max"] >= results["cg/steps_train_mean"]
+    assert np.isfinite(results["cg/error_train_mean"])
     logs = load_json(tmp_path / "logs.json")
     assert "loss" in logs and len(logs["loss"]) >= 1
 
