@@ -1,0 +1,121 @@
+"""AOT-compile the sharded CGLB training step at large-N shapes.
+
+Proves the multi-chip training graph (parallel/sharded.sharded_train_step,
+streaming Pallas matvec, gram-form common terms) compiles at houseelectric-
+class shapes (SURVEY.md 5.7, BASELINE.json houseelectric: N=2,049,280, D=11,
+M=1024) and reports XLA's own per-device memory analysis — without needing
+N real chips or executing the step.  Reference role: the MultiDeviceKernel
+large-N data parallelism, /root/reference/cglb/backend/pytorch/interface.py:241-244.
+
+Run on a virtual CPU mesh:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python scripts/large_n_aot.py --n 1373184 --d 11 --m 1024 --devices 8
+
+Prints one JSON line with compile wall time and the memory breakdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1373184,
+                    help="training rows (default: houseelectric 67%% split)")
+    ap.add_argument("--d", type=int, default=11)
+    ap.add_argument("--m", type=int, default=1024)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--block", type=int, default=1024,
+                    help="streaming tile; padded N must divide devices*block")
+    ap.add_argument("--matvec", default="streaming",
+                    choices=["streaming", "dense"])
+    ap.add_argument("--execute", action="store_true",
+                    help="also run ONE step (slow in interpret mode; off by "
+                         "default — the artifact is the compile + memory "
+                         "analysis)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cglb_tpu.models import cglb as cglb_mod
+    from cglb_tpu.models import sgpr as sgpr_mod
+    from cglb_tpu.ops import kernels as k
+    from cglb_tpu.parallel import mesh as mesh_mod
+    from cglb_tpu.parallel import sharded
+
+    devs = jax.devices()
+    assert len(devs) >= args.devices, (
+        f"need {args.devices} devices, have {len(devs)} "
+        "(set --xla_force_host_platform_device_count)")
+    dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    mesh = mesh_mod.data_mesh(args.devices)
+
+    # Inputs at full shape.  X/Y content is irrelevant to compilation; only
+    # the M-sized params need real values (none — lowering is abstract), but
+    # building them concretely keeps this identical to the runtime path.
+    rng = np.random.default_rng(0)
+    X = np.zeros((args.n, args.d), dtype=dtype)
+    Y = np.zeros((args.n, 1), dtype=dtype)
+    kern = k.make_kernel("Matern32", args.d, dtype=dtype)
+    Z = rng.normal(size=(args.m, args.d)).astype(dtype)
+    params = sgpr_mod.SGPRParams.create(kern, Z, noise_variance=0.5,
+                                        dtype=dtype)
+    v0 = cglb_mod.init_v0(args.n, dtype=dtype)
+    cfg = cglb_mod.CGLBConfig(max_error=1.0, max_cg_iters=100)
+
+    Xs, Ys = sharded.shard_data(mesh, jnp.asarray(X), jnp.asarray(Y))
+    opt = optax.adam(0.01)
+    step = sharded.sharded_train_step(mesh, cfg, opt,
+                                      matvec=args.matvec, block=args.block)
+    opt_state = opt.init(params)
+
+    t0 = time.perf_counter()
+    lowered = step.lower(params, opt_state, v0, Xs, Ys)
+    t_lower = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    t_compile = time.perf_counter() - t0
+
+    mem = compiled.memory_analysis()
+    rec = {
+        "n": args.n, "d": args.d, "m": args.m,
+        "devices": args.devices, "matvec": args.matvec,
+        "block": args.block, "platform": devs[0].platform,
+        "lower_s": round(t_lower, 2), "compile_s": round(t_compile, 2),
+    }
+    if mem is not None:
+        for key in ("argument_size_in_bytes", "output_size_in_bytes",
+                    "temp_size_in_bytes", "generated_code_size_in_bytes",
+                    "alias_size_in_bytes"):
+            val = getattr(mem, key, None)
+            if val is not None:
+                rec[key.replace("_in_bytes", "_gib")] = round(val / 2**30, 3)
+        total = sum(getattr(mem, key, 0) or 0
+                    for key in ("argument_size_in_bytes",
+                                "temp_size_in_bytes",
+                                "output_size_in_bytes"))
+        rec["peak_estimate_gib"] = round(total / 2**30, 3)
+
+    if args.execute:
+        t0 = time.perf_counter()
+        params2, opt_state2, aux, loss = compiled(params, opt_state, v0,
+                                                  Xs, Ys)
+        loss = float(loss)
+        rec["step_s"] = round(time.perf_counter() - t0, 2)
+        rec["loss_finite"] = bool(np.isfinite(loss))
+
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
