@@ -34,7 +34,8 @@ from ..ops import cg as _cg
 from ..ops import operators as _op
 from ..ops import preconditioners as _pc
 from .gaussian import mean_apply, predict_log_density
-from .sgpr import SGPRParams, CommonTerms, common_terms
+from .sgpr import (SGPRParams, CommonTerms, common_terms,
+                   REMAT_THRESHOLD_ELEMENTS)
 
 __all__ = ["CGLBConfig", "CGLBAux", "loss", "bound", "predict_f",
            "cglb_predict_log_density", "init_v0", "PredictCache",
@@ -217,12 +218,8 @@ def _quad_form_bound(params: SGPRParams, ct: CommonTerms, X, Y, v0,
     return -ub, aux
 
 
-# above this many Kuf elements the common terms are rematerialized in the
-# backward pass: stored residuals run ~30-40 bytes/element (fp64 Kuf + d2 +
-# f32 A + df32 intermediates), so 128M elements ~ 4-5 GB — comfortably
-# inside a 16 GB chip even with CG state, packed matvec tensors, and
-# multi-output RHS resident (a 200M threshold left no headroom)
-REMAT_THRESHOLD_ELEMENTS = 128 * 1024 * 1024
+# REMAT_THRESHOLD_ELEMENTS is re-exported from .sgpr (defined beside the
+# chunked builders it gates) for existing callers of this module.
 
 
 def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
@@ -246,9 +243,12 @@ def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
     storing beats recomputing when it fits — measured 2.05 s vs 2.79 s per
     loss+grad at kin40k/M=2048 on v5e (PERF.md) — and the gram-form mixed
     path stores little enough that kin40k-scale problems fit comfortably.
+    Applied at the CHUNK level (jax.checkpoint on the lax.map body inside
+    _gram_terms/_kuf_terms, which is always engaged above this threshold):
+    a whole-function checkpoint is not enough, because its backward re-runs
+    the chunked forward and then stores the full [M, N]-aggregate scan
+    residuals anyway — the very allocation that OOMs at houseelectric scale.
     """
-    import jax
-
     N, D = Y.shape
     if remat_common_terms is None:
         remat_common_terms = N * params.num_inducing > REMAT_THRESHOLD_ELEMENTS
@@ -256,14 +256,9 @@ def bound(params: SGPRParams, X, Y, v0, cfg: CGLBConfig = CGLBConfig(),
     # the n2m logdet ablation consumes full-precision A [M, N]; the gram fast
     # path only materializes A in the preconditioner dtype
     gram = mixed and cfg.logdet_variant != "n2m"
-    kw = dict(mixed=mixed, gram=gram, a_dtype=jnp.dtype(cfg.precond_dtype))
-    if remat_common_terms:
-        ct = jax.checkpoint(
-            lambda p, x: common_terms(p, x, jitter, **kw),
-            static_argnums=(),
-        )(params, X)
-    else:
-        ct = common_terms(params, X, jitter, **kw)
+    ct = common_terms(params, X, jitter, mixed=mixed, gram=gram,
+                      a_dtype=jnp.dtype(cfg.precond_dtype),
+                      remat=remat_common_terms)
     b = -0.5 * N * D * math.log(2.0 * math.pi)
     b += _logdet_bound(params, ct, X, Y, cfg.logdet_variant)
     quad, aux = _quad_form_bound(params, ct, X, Y, v0, cfg, matvec,

@@ -141,15 +141,28 @@ def _kuu_chol_inv(params: SGPRParams, jitter: float):
 # ([8, M, N] temporaries), so unchunked [M, N] solves blow HBM at kin40k scale.
 CHUNK_THRESHOLD_ELEMENTS = 32 * 1024 * 1024
 
+# above this many Kuf elements the chunked builders' backward is
+# rematerialized per chunk (jax.checkpoint on the lax.map body): stored scan
+# residuals run ~30-40 bytes/element (fp64 Kuf + d2 + f32 A + df32
+# intermediates), so 128M elements ~ 4-5 GB — comfortably inside a 16 GB
+# chip even with CG state, packed matvec tensors, and multi-output RHS
+# resident (a 200M threshold left no headroom).  Below it, storing beats
+# recomputing by ~0.7 s/feval at kin40k scale (PERF.md).
+REMAT_THRESHOLD_ELEMENTS = 128 * 1024 * 1024
+
 
 def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
-               chunk_size: int = None, kernel_df32: bool = False):
+               chunk_size: int = None, kernel_df32: bool = False,
+               remat: bool = False):
     """A = L^-1 Kuf / sigma_scale, AAT = A A^T, and optionally AW = A @ W —
     computed in column chunks under ``lax.map`` when N*M is large, so every
     fp64 contraction stays at [M, chunk] (exact fp64 either way).
 
     W: optional [N, D] right factor folded into the same chunked pass (e.g.
-    the training-error matrix for the ELBO quad term)."""
+    the training-error matrix for the ELBO quad term).
+    remat: checkpoint the chunk body so the lax.map backward recomputes
+    per-chunk instead of storing [M, N]-aggregate residuals (see
+    _gram_terms)."""
     import jax
 
     Z = params.inducing_Z.value
@@ -192,7 +205,8 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
         # per-chunk partials keep every fp64 matmul at [M, chunk]
         return a_c, a_c @ a_c.T, a_c @ wc
 
-    A_stack, AAT_parts, AW_parts = jax.lax.map(per_chunk, (Xc, masks, Wc))
+    per_chunk_fn = jax.checkpoint(per_chunk) if remat else per_chunk
+    A_stack, AAT_parts, AW_parts = jax.lax.map(per_chunk_fn, (Xc, masks, Wc))
     A = jnp.moveaxis(A_stack, 0, 1).reshape(M, n_pad)[:, :N]
     AAT = jnp.sum(AAT_parts, axis=0)
     AW = None if W is None else jnp.sum(AW_parts, axis=0)
@@ -358,7 +372,8 @@ def _aat_sandwich(L, G, sigma_scale):
 
 def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
                 chunk_size: int = None, a_dtype=jnp.float32,
-                with_a: bool = True, Cinv=None):
+                with_a: bool = True, Cinv=None, mesh=None,
+                data_axis: str = "data", remat: bool = False):
     """Mixed-mode fast path: the O(N M^2) work never runs through TPU's
     emulated-fp64 triangular solve.
 
@@ -392,8 +407,36 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     as runtime: each avoided fp64 [M, M] trisolve expander instance (and
     each trisolve the chol/solve VJPs would add to the backward) costs
     ~22-30 s of XLA compile on TPU (PERF.md "Cold compile").
+
+    mesh: optional jax.sharding.Mesh.  When given, every chunk is
+    constrained to span ALL devices of the mesh's ``data_axis`` (rows of
+    each X chunk sharded), so the ``lax.map`` steps run data-parallel and
+    the per-chunk Gram partials psum over ICI; G/AAT come out replicated
+    and A column-sharded.  This is the large-N sharded common-terms path
+    (parallel/sharded.py) — without chunking, the per-shard [M, N_shard]
+    fp64 Gram product materializes [8, M, N_shard] f32 emulation splits
+    and blows HBM at houseelectric scale (measured: 45 GB at N=1.37M,
+    M=1024 on one v5e chip — PERF.md "Large-N training graph").
+
+    remat: checkpoint the per-chunk body, so the lax.map backward
+    recomputes each chunk's Kuf/d2/A instead of storing the stacked
+    residuals (which are [M, N]-sized in aggregate: fp64 kuf_c alone is
+    10.5 GiB at houseelectric scale — the chunked FORWARD is bounded but
+    an un-rematted backward is not).  Callers engage it by size
+    (models/cglb.REMAT_THRESHOLD_ELEMENTS); below the threshold storing
+    beats recomputing by ~0.7 s/feval at kin40k scale (PERF.md).
     """
     import jax
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        def _cst(x, *spec):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, _P(*spec)))
+    else:
+        def _cst(x, *spec):
+            return x
 
     Z = params.inducing_Z.value
     M = Z.shape[0]
@@ -401,53 +444,77 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
 
     if chunk_size is None and N * M > CHUNK_THRESHOLD_ELEMENTS:
         chunk_size = max(CHUNK_THRESHOLD_ELEMENTS // M, 1024)
+        if mesh is not None:
+            # each chunk spans every device of the data axis, so the
+            # per-device slice is chunk/n_dev: scale the auto chunk up to
+            # keep per-device temporaries at the single-device budget — but
+            # stay below the int8 gram path's GLOBAL k bound
+            # (ops/intgram.MAX_K guards on the traced, i.e. global,
+            # contraction extent).  An explicit chunk_size is honored as-is.
+            chunk_size = min(chunk_size * mesh.shape[data_axis], 96 * 1024)
 
     L_cast = (Cinv if Cinv is not None else L).astype(a_dtype)
     sigma_cast = sigma_scale.astype(a_dtype)
     d_w = W.shape[1] if W is not None else 1
 
     def chunk_part(xc, mask, wc):
-        kuf_c = _kuf_block_df32(params, Z, xc) * mask[None, :]
+        # a_t chunks come out TRANSPOSED [chunk, M]: stacking + reshaping
+        # [n_chunks, chunk, M] -> [n_pad, M] is then a zero-copy bitcast and
+        # the final A = A_t.T is a view whose consumers are all dots (the
+        # preconditioner), into which XLA folds the transpose.  The previous
+        # moveaxis(stack, 0, 1).reshape(M, -1) materialized a full [M, N]
+        # layout copy — measured 5.24 GiB EXTRA live next to A itself at
+        # houseelectric scale (PERF.md "Large-N training graph").
+        xc = _cst(xc, data_axis, None)
+        kuf_c = _cst(_kuf_block_df32(params, Z, xc) * mask[None, :],
+                     None, data_axis)
         if with_a and Cinv is not None:
-            a_c = jnp.dot(L_cast, kuf_c.astype(a_dtype),
+            a_t = jnp.dot(kuf_c.astype(a_dtype).T, L_cast.T,
                           precision=jax.lax.Precision.HIGHEST) / sigma_cast
         elif with_a:
-            a_c = jsl.solve_triangular(
+            a_t = (jsl.solve_triangular(
                 L_cast, kuf_c.astype(a_dtype), lower=True
-            ) / sigma_cast
+            ) / sigma_cast).T
         else:
-            a_c = jnp.zeros((M, 0), dtype=a_dtype)
+            a_t = jnp.zeros((kuf_c.shape[1], 0), dtype=a_dtype)
         # _gram_outer: fp64-grade forward, f32-HIGHEST backward — saves
         # ~0.4 s of emulated-fp64 dG@Kuf per feval at kin40k/M=2048
-        # (PERF.md round 3); var bounds the entries for the int8 forward
+        # (PERF.md round 3); var bounds the entries for the int8 forward.
+        # Under a mesh the Gram/U partials contract over the sharded column
+        # axis — constraining them replicated makes XLA emit the ICI psum.
         return (
-            _gram_outer(kuf_c, params.kernel.variance.value),
-            kuf_c @ wc,
-            a_c,
+            _cst(_gram_outer(kuf_c, params.kernel.variance.value)),
+            _cst(kuf_c @ wc),
+            _cst(a_t, data_axis, None) if with_a else a_t,
         )
 
     if chunk_size is None or N <= chunk_size:
         W_full = W if W is not None else jnp.zeros((N, 1), dtype=X.dtype)
-        G, U, A = chunk_part(X, jnp.ones((N,), dtype=X.dtype), W_full)
+        G, U, A_t = chunk_part(X, jnp.ones((N,), dtype=X.dtype), W_full)
+        A = A_t.T if with_a else None
     else:
         n_chunks = -(-N // chunk_size)
         n_pad = n_chunks * chunk_size
         Xp = jnp.pad(X, ((0, n_pad - N), (0, 0)), mode="edge")
-        Xc = Xp.reshape(n_chunks, chunk_size, X.shape[1])
+        Xc = _cst(Xp.reshape(n_chunks, chunk_size, X.shape[1]),
+                  None, data_axis, None)
         col_ids = jnp.arange(n_pad).reshape(n_chunks, chunk_size)
-        masks = (col_ids < N).astype(X.dtype)
+        masks = _cst((col_ids < N).astype(X.dtype), None, data_axis)
         if W is not None:
             Wp = jnp.pad(W, ((0, n_pad - N), (0, 0)))
             Wc = Wp.reshape(n_chunks, chunk_size, d_w)
         else:
             Wc = jnp.zeros((n_chunks, chunk_size, 1), dtype=X.dtype)
-        G_parts, U_parts, A_stack = jax.lax.map(
-            lambda args: chunk_part(*args), (Xc, masks, Wc)
+        Wc = _cst(Wc, None, data_axis, None)
+        chunk_fn = jax.checkpoint(chunk_part) if remat else chunk_part
+        G_parts, U_parts, At_stack = jax.lax.map(
+            lambda args: chunk_fn(*args), (Xc, masks, Wc)
         )
         G = jnp.sum(G_parts, axis=0)
         U = jnp.sum(U_parts, axis=0)
-        A = jnp.moveaxis(A_stack, 0, 1).reshape(M, -1)[:, :N] if with_a \
-            else None
+        # [n_chunks, chunk, M] -> [n_pad, M] is a bitcast; .T is a view
+        A = _cst(At_stack.reshape(-1, M)[:N], data_axis, None).T \
+            if with_a else None
 
     if Cinv is not None:
         # both [M, M] products at fp64 grade WITHOUT the emulated-fp64 dot
@@ -510,7 +577,8 @@ def kuf_weighted(params: SGPRParams, L, X, W, sigma_scale,
 
 def common_terms(params: SGPRParams, X, jitter: float = None,
                  chunk_size: int = None, mixed: bool = False,
-                 gram: bool = None, a_dtype=jnp.float32) -> CommonTerms:
+                 gram: bool = None, a_dtype=jnp.float32,
+                 remat: bool = False) -> CommonTerms:
     """Reference semantics: cglb/backend/tensorflow/models.py:58-75.
 
     For large N the fp64 path runs the O(N M) solve in column chunks under
@@ -539,7 +607,7 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
         # the loss+grad cold compile from ~300 s (PERF.md "Cold compile")
         L, Cinv = _kuu_chol_inv(params, jitter)
         A, AAT, _ = _gram_terms(params, L, X, sigma, chunk_size=chunk_size,
-                                a_dtype=a_dtype, Cinv=Cinv)
+                                a_dtype=a_dtype, Cinv=Cinv, remat=remat)
         B = AAT + jnp.eye(M, dtype=Z.dtype)
         LB, LBi = chol_inv(B)
         Li = Cinv
@@ -551,7 +619,7 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
         # ~3e-4 on the bound (round 1).
         L = _kuu_chol(params, jitter)
         A, AAT, _ = _kuf_terms(params, L, X, sigma, chunk_size=chunk_size,
-                               kernel_df32=mixed)
+                               kernel_df32=mixed, remat=remat)
         B = AAT + jnp.eye(M, dtype=Z.dtype)
         LB = jnp.linalg.cholesky(B)
         # the exact path keeps backward-stable trisolves downstream
@@ -561,30 +629,35 @@ def common_terms(params: SGPRParams, X, jitter: float = None,
 
 
 def elbo(params: SGPRParams, X, Y, jitter: float = None,
-         mixed: bool = False) -> jnp.ndarray:
+         mixed: bool = False, remat: bool = None) -> jnp.ndarray:
     """Titsias (2009) collapsed ELBO, the reference's `elbo` metric.
 
     mixed=True uses the df32/gram fast path (fp64-grade, no emulated-fp64
     [M, N] trisolve — the same trade as the CGLB training default; A itself
-    is never needed here so the f32 solve is skipped entirely)."""
+    is never needed here so the f32 solve is skipped entirely).
+    remat: per-chunk backward rematerialization (None = by size; matters
+    only when this is trained/differentiated — metric evaluation stores
+    no residuals)."""
     from .. import config as _config
 
     jitter = jitter if jitter is not None else _config.default_jitter()
     err = Y - mean_apply(params.mean, X)
     N, D = Y.shape
     M = params.num_inducing
+    if remat is None:
+        remat = N * M > REMAT_THRESHOLD_ELEMENTS
     sigma_sq = params.noise_variance.value
     sigma = jnp.sqrt(sigma_sq)
     # A, AAT, and A@err in one chunked pass (bounded fp64 temps at scale)
     if mixed:
         L, Ci = _kuu_chol_inv(params, jitter)
         _, AAT, Aerr = _gram_terms(params, L, X, sigma, W=err, with_a=False,
-                                   Cinv=Ci)
+                                   Cinv=Ci, remat=remat)
         LB, CB = chol_inv(AAT + jnp.eye(M, dtype=X.dtype))
         c = (CB @ Aerr) / sigma
     else:
         L = _kuu_chol(params, jitter)
-        _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err)
+        _, AAT, Aerr = _kuf_terms(params, L, X, sigma, W=err, remat=remat)
         LB = jnp.linalg.cholesky(AAT + jnp.eye(M, dtype=X.dtype))
         c = jsl.solve_triangular(LB, Aerr, lower=True) / sigma
 
@@ -615,14 +688,15 @@ def upper_bound(params: SGPRParams, X, Y, jitter: float = None,
 
     err = Y - mean_apply(params.mean, X)
     one = jnp.ones((), dtype=X.dtype)
+    remat = N * M > REMAT_THRESHOLD_ELEMENTS
     if mixed:
         L, Ci = _kuu_chol_inv(params, jitter)
         _, AAT0, A0err = _gram_terms(params, L, X, one, W=err, with_a=False,
-                                     Cinv=Ci)
+                                     Cinv=Ci, remat=remat)
         LB, _ = chol_inv(eye_m + AAT0 / sigma_sq)
     else:
         L = _kuu_chol(params, jitter)
-        _, AAT0, A0err = _kuf_terms(params, L, X, one, W=err)
+        _, AAT0, A0err = _kuf_terms(params, L, X, one, W=err, remat=remat)
         LB = jnp.linalg.cholesky(eye_m + AAT0 / sigma_sq)
 
     # Trace slack: c = tr(Kff) - tr(Qff) >= 0 inflates the noise.  The

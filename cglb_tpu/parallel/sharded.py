@@ -72,8 +72,9 @@ def make_sharded_operator(mesh: Mesh, kernel, X, sigma_sq):
 
 def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
                           jitter: float, mixed: bool = False,
-                          gram: bool = None,
-                          a_dtype=jnp.float32) -> _sgpr.CommonTerms:
+                          gram: bool = None, a_dtype=jnp.float32,
+                          chunk_size: int = None,
+                          remat: bool = False) -> _sgpr.CommonTerms:
     """Common terms with Kuf/A column-sharded; M x M results replicated.
 
     Mirrors models/sgpr.common_terms' knobs: ``mixed`` selects the df32
@@ -90,38 +91,31 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
     Z = params.inducing_Z.value
     M = Z.shape[0]
     gram = mixed if gram is None else gram
-    if mixed:
-        kuf = _sgpr._kuf_block_df32(params, Z, X)  # [M, N]
-    else:
-        kuf = _k.K(params.kernel, Z, X)
-    kuf = _cshard(mesh, kuf, P(None, DATA_AXIS))
     sigma = jnp.sqrt(params.noise_variance.value)
-    if gram:
-        # _gram_outer: fp64-grade forward, f32-HIGHEST backward — same
-        # custom vjp as the single-device gram path (models/sgpr.py), so
-        # gradients stay layout-independent and the emulated-fp64 dG @ Kuf
-        # never runs
+    if mixed and gram:
+        # Delegate to the single-device gram builder in mesh mode: df32 Kuf
+        # is built per N-chunk under lax.map with every chunk row-sharded
+        # over the data axis (the chunk Gram partials psum over ICI), so the
+        # [M, N]-scale fp64-emulation temporaries never materialize.
+        # Unchunked, the int8-limb/emulated-fp64 split of the full per-shard
+        # Gram product allocates [limbs, M, N/devices] f32 — measured 45 GB
+        # at houseelectric scale on one v5e chip (PERF.md "Large-N training
+        # graph").  Same _gram_outer/_mm_f64grade custom-vjp primitives as
+        # the single-device path, so numerics/gradients are layout-invariant.
         L, Cinv = _sgpr._kuu_chol_inv(params, jitter)
-        G = _cshard(
-            mesh,
-            _sgpr._gram_outer(kuf, params.kernel.variance.value),
-            P(),
-        )  # per-shard partials + psum
-        # _mm_f64grade: int8-limb exact forward on TPU, platform-split
-        # backward — same primitive as the single-device sandwich so the
-        # layouts cannot drift (models/sgpr._gram_terms)
-        AAT = _sgpr._mm_f64grade(
-            _sgpr._mm_f64grade(Cinv, G), Cinv.T
-        ) / params.noise_variance.value
-        AAT = 0.5 * (AAT + AAT.T)
-        A = jnp.dot(
-            Cinv.astype(a_dtype), kuf.astype(a_dtype),
-            precision=jax.lax.Precision.HIGHEST,
-        ) / sigma.astype(a_dtype)
-        A = _cshard(mesh, A, P(None, DATA_AXIS))
+        A, AAT, _ = _sgpr._gram_terms(
+            params, L, X, sigma, a_dtype=a_dtype, Cinv=Cinv,
+            chunk_size=chunk_size, mesh=mesh, data_axis=DATA_AXIS,
+            remat=remat,
+        )
         B = AAT + jnp.eye(M, dtype=Z.dtype)
         LB, LBi = _chol64.chol_inv(B)
     else:
+        if mixed:
+            kuf = _sgpr._kuf_block_df32(params, Z, X)  # [M, N]
+        else:
+            kuf = _k.K(params.kernel, Z, X)
+        kuf = _cshard(mesh, kuf, P(None, DATA_AXIS))
         kuu = _k.K(params.kernel, Z) + jitter * jnp.eye(M, dtype=Z.dtype)
         L = jnp.linalg.cholesky(kuu)
         A = jax.scipy.linalg.solve_triangular(L, kuf, lower=True) / sigma
@@ -134,8 +128,8 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
 
 def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
                       jitter: float = None, matvec: str = "dense",
-                      block: int = 512,
-                      max_error=None) -> Tuple[jnp.ndarray, CGLBAux]:
+                      block: int = 512, max_error=None,
+                      chunk_size: int = None) -> Tuple[jnp.ndarray, CGLBAux]:
     """CGLB loss with all N-sized tensors sharded over the mesh's data axis.
 
     Same math and CG as models.cglb.loss, honoring cfg.common_dtype the same
@@ -159,9 +153,15 @@ def sharded_cglb_loss(params, X, Y, v0, cfg: CGLBConfig, mesh: Mesh,
     N, D = Y.shape
     mixed = cfg.common_dtype == "mixed"
     gram = mixed and cfg.logdet_variant != "n2m"
+    # chunk-level remat above the same size threshold as models/cglb.bound:
+    # per-device HBM scales with N/devices, but the stacked scan residuals
+    # an un-rematted backward stores are [M, N]-aggregate across the mesh
+    remat = (N * params.num_inducing
+             > _cglb.REMAT_THRESHOLD_ELEMENTS * mesh.shape[DATA_AXIS])
     ct = _sharded_common_terms(mesh, params, X, jitter, mixed=mixed,
                                gram=gram,
-                               a_dtype=jnp.dtype(cfg.precond_dtype))
+                               a_dtype=jnp.dtype(cfg.precond_dtype),
+                               chunk_size=chunk_size, remat=remat)
     sigma_sq = params.noise_variance.value
 
     import math

@@ -60,12 +60,25 @@ def main() -> None:
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     mesh = mesh_mod.data_mesh(args.devices)
 
-    # Inputs at full shape.  X/Y content is irrelevant to compilation; only
-    # the M-sized params need real values (none — lowering is abstract), but
-    # building them concretely keeps this identical to the runtime path.
+    # Inputs at full shape.  X/Y content is irrelevant to compilation, but
+    # --execute needs non-degenerate data (N identical points make the
+    # kernel system rank-1 and the executed loss NaNs) — generate it on
+    # device to keep host memory/transfer out of the measurement.
     rng = np.random.default_rng(0)
-    X = np.zeros((args.n, args.d), dtype=dtype)
-    Y = np.zeros((args.n, 1), dtype=dtype)
+    if args.execute:
+        @jax.jit
+        def _mk(key):
+            kx, kn = jax.random.split(key)
+            Xd = jax.random.normal(kx, (args.n, args.d), dtype=dtype)
+            w = jnp.linspace(0.5, 1.5, args.d, dtype=dtype)
+            Yd = jnp.sin(Xd @ w[:, None]) + 0.3 * jax.random.normal(
+                kn, (args.n, 1), dtype=dtype)
+            return Xd, Yd
+
+        X, Y = _mk(jax.random.PRNGKey(0))
+    else:
+        X = np.zeros((args.n, args.d), dtype=dtype)
+        Y = np.zeros((args.n, 1), dtype=dtype)
     kern = k.make_kernel("Matern32", args.d, dtype=dtype)
     Z = rng.normal(size=(args.m, args.d)).astype(dtype)
     params = sgpr_mod.SGPRParams.create(kern, Z, noise_variance=0.5,

@@ -286,3 +286,58 @@ def test_gram_outer_custom_backward_close_to_fp64(rng):
     g_e = np.asarray(jax.grad(f_exact)(kuf))
     scale = np.max(np.abs(g_e))
     np.testing.assert_allclose(g_c / scale, g_e / scale, atol=1e-5)
+
+
+def test_chunk_remat_matches_stored_backward(rng):
+    """Chunk-level remat (jax.checkpoint on the lax.map body — the
+    houseelectric-scale memory fix: stored scan residuals are [M, N]-
+    aggregate) must leave the end-to-end CGLB loss AND its gradients
+    bit-comparable on both the gram and the exact-fp64 chunked paths."""
+    from cglb_tpu.models import cglb as cglb_mod
+    from cglb_tpu.models import sgpr
+
+    n, d, m = 320, 3, 16
+    X = jnp.asarray(rng.normal(size=(n, d)))
+    Y = jnp.asarray(np.sin(np.asarray(X[:, :1]))
+                    + 0.1 * rng.normal(size=(n, 1)))
+    kern = k.make_kernel("Matern32", d, dtype=np.float64)
+    Z = np.asarray(X)[rng.choice(n, m, replace=False)]
+    params = sgpr.SGPRParams.create(kern, Z, noise_variance=0.2,
+                                    dtype=np.float64)
+    L = sgpr._kuu_chol(params, 1e-6)
+    Lf, Ci = sgpr._kuu_chol_inv(params, 1e-6)
+    sigma = jnp.sqrt(params.noise_variance.value)
+    W = jnp.asarray(rng.normal(size=(n, 2)))
+
+    # unit level: values identical with/without remat, both chunked paths
+    for fn in (
+        lambda r: sgpr._gram_terms(params, Lf, X, sigma, W=W, Cinv=Ci,
+                                   chunk_size=96, remat=r),
+        lambda r: sgpr._kuf_terms(params, L, X, sigma, W=W,
+                                  chunk_size=96, remat=r),
+    ):
+        out0, out1 = fn(False), fn(True)
+        for a, b in zip(out0, out1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # end to end: loss + grads with the remat flag forced on and chunking
+    # forced by a lowered auto threshold (the production trigger), default
+    # mixed/gram config
+    cfg = cglb_mod.CGLBConfig(max_error=0.01)
+    v0 = cglb_mod.init_v0(n)
+
+    def loss_of(p, remat):
+        b, _ = cglb_mod.bound(p, X, Y, v0, cfg, remat_common_terms=remat)
+        return -b
+
+    saved = sgpr.CHUNK_THRESHOLD_ELEMENTS
+    sgpr.CHUNK_THRESHOLD_ELEMENTS = 1024  # 320*16 > 1024 -> chunked
+    try:
+        l0, g0 = jax.value_and_grad(lambda p: loss_of(p, False))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss_of(p, True))(params)
+    finally:
+        sgpr.CHUNK_THRESHOLD_ELEMENTS = saved
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=1e-12)

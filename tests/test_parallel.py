@@ -272,3 +272,36 @@ def test_scipy_tol_under_mesh(mesh8, rng):
     assert mes == sorted(mes, reverse=True)
     assert mes[-1] == pytest.approx(1e-2)
     assert np.isfinite(res.final_loss)
+
+
+def test_sharded_chunked_gram_matches_single_device(mesh8, rng):
+    """The mesh-aware chunked gram path (the houseelectric-scale fix: per-
+    chunk row-sharded df32 Kuf under lax.map, Gram partials psum over ICI)
+    is numerically identical to the unchunked sharded path and matches the
+    single-device loss — values AND gradients."""
+    X, Y, params = _setup(rng, n=96, d=3, m=8)
+    cfg = cglb_mod.CGLBConfig(max_error=0.01, precond_dtype="float64")
+    v0 = cglb_mod.init_v0(X.shape[0])
+    Xs, Ys = sharded.shard_data(mesh8, X, Y)
+
+    def f(chunk):
+        return jax.jit(
+            lambda p, v: sharded.sharded_cglb_loss(
+                p, Xs, Ys, v, cfg, mesh8, chunk_size=chunk)
+        )
+
+    l_ref, _ = cglb_mod.loss(params, X, Y, v0, cfg)
+    l_un, _ = f(None)(params, v0)
+    l_ch, _ = f(24)(params, v0)  # 96 rows -> 4 chunks of 24 (3 rows/device)
+    np.testing.assert_allclose(float(l_ch), float(l_un), rtol=1e-9)
+    np.testing.assert_allclose(float(l_ch), float(l_ref), rtol=1e-7)
+
+    g_un = jax.jit(jax.grad(
+        lambda p: sharded.sharded_cglb_loss(
+            p, Xs, Ys, v0, cfg, mesh8)[0]))(params)
+    g_ch = jax.jit(jax.grad(
+        lambda p: sharded.sharded_cglb_loss(
+            p, Xs, Ys, v0, cfg, mesh8, chunk_size=24)[0]))(params)
+    for a, b in zip(jax.tree.leaves(g_un), jax.tree.leaves(g_ch)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-10)
