@@ -439,6 +439,10 @@ class Jax:
     # "mixed" (default: df32 kernel profile + fp64 solves, fp64-grade; see
     # models/sgpr._kuf_block_df32) | "float64" (all-fp64, CLI --common-dtype)
     common_dtype = "mixed"
+    # CG iteration cap (reference hardcodes 100, tensorflow/models.py:36-38;
+    # CLI --max-cg-iters exposes it — at N>=1M each CG iteration is a multi-
+    # second streaming matvec, so bounding it bounds per-dispatch time)
+    max_cg_iters = 100
 
     @classmethod
     def configure_backend(cls, **kwargs):
@@ -448,6 +452,8 @@ class Jax:
             cls.common_dtype = kwargs["common_dtype"]
         if "mesh" in kwargs and kwargs["mesh"] is not None:
             cls.mesh_size = int(kwargs["mesh"])
+        if kwargs.get("max_cg_iters"):
+            cls.max_cg_iters = int(kwargs["max_cg_iters"])
 
     @classmethod
     def _make_mesh(cls):
@@ -539,6 +545,7 @@ class Jax:
                 vzero=p["vzero"],
                 logdet_variant=_CGLB_KINDS[kind],
                 common_dtype=cls.common_dtype,
+                max_cg_iters=cls.max_cg_iters,
             )
             return Model(kind, params, (X, Y), run_cfg,
                          matvec=cls.matvec_mode, mesh=cls._make_mesh(),

@@ -245,15 +245,22 @@ def _attach_leaves(group: click.Group) -> None:
 @click.option("--mesh", type=int, default=0,
               help="multi-chip: shard CGLB training over a 1-D data mesh of "
                    "this many devices (-1 = all visible); 0/1 = single device")
+@click.option("--max-cg-iters", type=int, default=100,
+              help="CG iteration cap (reference hardcodes 100, tensorflow/"
+                   "models.py:36-38).  At N>=1M each CG iteration is a multi-"
+                   "second streaming matvec: cap it to bound single-dispatch "
+                   "time (warm-started training measures 7.2 mean / 20 max "
+                   "steps per feval at the kin40k protocol point, PERF.md)")
 @click.pass_context
 def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype,
-         mesh):
+         mesh, max_cg_iters):
     logdir_path = Path(logdir).expanduser().resolve()
     logdir_path.mkdir(exist_ok=True, parents=True)
     if keops is not None:
         matvec = "streaming" if keops else "dense"
     backend.configure_backend(logdir=str(logdir_path), matvec=matvec,
-                              common_dtype=common_dtype, mesh=mesh)
+                              common_dtype=common_dtype, mesh=mesh,
+                              max_cg_iters=max_cg_iters)
     backend.set_default_float(float_type)
     backend.set_default_jitter(float_type)
     backend.set_seed(seed)

@@ -41,6 +41,14 @@ def main() -> None:
                     help="also run ONE step (slow in interpret mode; off by "
                          "default — the artifact is the compile + memory "
                          "analysis)")
+    ap.add_argument("--max-cg-iters", type=int, default=100,
+                    help="CG iteration cap.  At N~1M each CG iteration is a "
+                         "~3-7 s streaming matvec, and an uncapped 100-iter "
+                         "solve puts >10 min inside ONE device dispatch — "
+                         "the remote TPU worker's watchdog kills it "
+                         "('worker crashed or restarted').  Cap it for the "
+                         "execute proof; per-iteration cost is measured "
+                         "standalone (PERF.md streaming matvec).")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +92,7 @@ def main() -> None:
     params = sgpr_mod.SGPRParams.create(kern, Z, noise_variance=0.5,
                                         dtype=dtype)
     v0 = cglb_mod.init_v0(args.n, dtype=dtype)
-    cfg = cglb_mod.CGLBConfig(max_error=1.0, max_cg_iters=100)
+    cfg = cglb_mod.CGLBConfig(max_error=1.0, max_cg_iters=args.max_cg_iters)
 
     Xs, Ys = sharded.shard_data(mesh, jnp.asarray(X), jnp.asarray(Y))
     opt = optax.adam(0.01)

@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--d", type=int, default=8)
     ap.add_argument("--m", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--max-cg-iters", type=int, default=16,
+                    help="CG cap: at N~1M each CG iteration is a multi-"
+                         "second streaming matvec and the remote worker's "
+                         "watchdog kills dispatches that run >~10 min; 16 "
+                         "covers the measured warm-start training regime "
+                         "(kin40k protocol: 7.2 mean / 20 max steps/feval)")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +85,8 @@ def main() -> None:
         return pk / 2**30
 
     memstats("after data")
-    model = Model("cglb", params, (X, Y), run_cfg=CGLBConfig(),
+    model = Model("cglb", params, (X, Y),
+                  run_cfg=CGLBConfig(max_cg_iters=args.max_cg_iters),
                   matvec="streaming", common_dtype="mixed")
     loss_fn = model.loss_fn()
     carry = model._carry_in()
