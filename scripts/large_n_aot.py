@@ -41,6 +41,11 @@ def main() -> None:
                     help="also run ONE step (slow in interpret mode; off by "
                          "default — the artifact is the compile + memory "
                          "analysis)")
+    ap.add_argument("--steps", type=int, default=1,
+                    help="with --execute: number of optimizer steps to run "
+                         "(>=5 is the large-N training proof; each step is "
+                         "its own device dispatch so the watchdog bound "
+                         "applies per step, not to the whole run)")
     ap.add_argument("--max-cg-iters", type=int, default=100,
                     help="CG iteration cap.  At N~1M each CG iteration is a "
                          "~3-7 s streaming matvec, and an uncapped 100-iter "
@@ -128,12 +133,24 @@ def main() -> None:
         rec["peak_estimate_gib"] = round(total / 2**30, 3)
 
     if args.execute:
-        t0 = time.perf_counter()
-        params2, opt_state2, aux, loss = compiled(params, opt_state, v0,
-                                                  Xs, Ys)
-        loss = float(loss)
-        rec["step_s"] = round(time.perf_counter() - t0, 2)
-        rec["loss_finite"] = bool(np.isfinite(loss))
+        state = (params, opt_state, v0)
+        losses, step_walls, cg_steps = [], [], []
+        for i in range(args.steps):
+            t0 = time.perf_counter()
+            p2, o2, aux, loss = compiled(*state, Xs, Ys)
+            loss = float(loss)
+            step_walls.append(round(time.perf_counter() - t0, 2))
+            losses.append(round(loss, 4))
+            cg_steps.append(int(aux.cg_steps))
+            state = (p2, o2, aux.v)
+            print(f"# step {i}: {step_walls[-1]} s  loss={loss:.4f}  "
+                  f"cg={cg_steps[-1]}", flush=True)
+        rec["step_s"] = step_walls[0]
+        rec["step_walls"] = step_walls
+        rec["losses"] = losses
+        rec["cg_steps"] = cg_steps
+        rec["loss_finite"] = bool(np.isfinite(losses[-1]))
+        rec["loss_decreased"] = bool(losses[-1] < losses[0])
 
     print(json.dumps(rec))
 
