@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from . import preconditioners as _pc
 
-__all__ = ["CGStats", "preconditioned_cg"]
+__all__ = ["CGStats", "CGCarry", "preconditioned_cg", "cg_init", "cg_advance"]
 
 MatVec = Callable[[jnp.ndarray], jnp.ndarray]  # [B, N] -> [B, N]
 
@@ -44,6 +44,16 @@ class _CGState(NamedTuple):
     r: jnp.ndarray
     p: jnp.ndarray
     rz: jnp.ndarray
+
+
+class CGCarry(NamedTuple):
+    """Resumable CG solve state: `cg_advance` continues EXACTLY the iterate
+    sequence `preconditioned_cg` would have run, so a solve can be cut into
+    bounded device dispatches (parallel/dispatch.py) with no algorithmic
+    difference — same directions, same restart phase, same stopping rule."""
+
+    state: _CGState
+    err_cap: jnp.ndarray  # [] divergence cutoff, fixed at init
 
 
 def preconditioned_cg(
@@ -70,11 +80,19 @@ def preconditioned_cg(
         (v, CGStats).  No gradients flow out of this function's loop; the caller
         is expected to stop_gradient the result (done by models/cglb.py).
     """
-    max_error = jnp.asarray(max_error, dtype=b.dtype)
+    carry = cg_init(matvec, b, v0, precond)
+    carry, stats = cg_advance(matvec, b, precond, carry, max_error,
+                              max_iters, restart_iters)
+    return carry.state.v, stats
 
-    def total_err(rz):
-        return 0.5 * jnp.sum(rz)
 
+def _total_err(rz):
+    return 0.5 * jnp.sum(rz)
+
+
+def cg_init(matvec: MatVec, b: jnp.ndarray, v0: jnp.ndarray,
+            precond) -> CGCarry:
+    """Warm-start sanitation + initial residual/direction; one matvec."""
     # Sanitize the warm start: a non-finite v0 (e.g. from a diverged feval at
     # an extreme L-BFGS line-search probe) would otherwise poison every later
     # evaluation — NaN < max_error is False, so CG "converges" in 0 steps and
@@ -109,7 +127,28 @@ def preconditioned_cg(
     # beyond any transient non-monotonicity of healthy preconditioned CG
     # (restarts bound that at ~10x); beyond it, iterating only burns matvecs
     # on a solve whose huge error bound already dooms the step.
-    err_cap = 1e6 * (total_err(rz0) + 1.0)
+    err_cap = 1e6 * (_total_err(rz0) + 1.0)
+    return CGCarry(state=state0, err_cap=err_cap)
+
+
+def cg_advance(
+    matvec: MatVec,
+    b: jnp.ndarray,
+    precond,
+    carry: CGCarry,
+    max_error,
+    max_iters,
+    restart_iters: int = 40,
+) -> Tuple[CGCarry, CGStats]:
+    """Iterate from ``carry`` until err <= max_error, i >= max_iters, or
+    divergence.  ``max_iters`` is the ABSOLUTE iteration cap (the carry's
+    ``i`` counts from the original cg_init), and may be a traced scalar —
+    a host driver raises it chunk by chunk to bound each device dispatch
+    (see the watchdog rationale in parallel/dispatch.py) while the restart
+    phase ``i % restart_iters`` stays aligned with the monolithic solve."""
+    max_error = jnp.asarray(max_error, dtype=b.dtype)
+    total_err = _total_err
+    err_cap = carry.err_cap
 
     def cond_fn(s: _CGState):
         err = total_err(s.rz)
@@ -137,7 +176,7 @@ def preconditioned_cg(
         )
         return _CGState(i=s.i + 1, v=v, r=r, p=p, rz=new_rz)
 
-    final = jax.lax.while_loop(cond_fn, body_fn, state0)
+    final = jax.lax.while_loop(cond_fn, body_fn, carry.state)
     final = jax.tree_util.tree_map(jax.lax.stop_gradient, final)
     stats = CGStats(steps=final.i, residual_error=total_err(final.rz))
-    return final.v, stats
+    return CGCarry(state=final, err_cap=err_cap), stats

@@ -259,14 +259,21 @@ def test_scipy_tol_under_mesh(mesh8, rng):
     from cglb_tpu.backend import Model
     from cglb_tpu.utils import training
 
-    X, Y, params = _setup(rng, n=64, d=3, m=8)
+    # Same shapes as the single-device schedule test (test_training.py
+    # test_scipy_tol_minimize_levels_and_depth): at n=64/d=3 the loose-CG
+    # objective jitter is large enough relative to the surface that L-BFGS
+    # can legitimately grind hundreds of iterations inside one level, so
+    # whether the floor fits a small budget depends on fp-level trajectory
+    # luck (it flipped when 068d2d1 re-routed the sharded gram through the
+    # chunked builder — numerics equal to tolerance, not bitwise).
+    X, Y, params = _setup(rng, n=120, d=2, m=10)
     Xn, Yn = np.asarray(X), np.asarray(Y)
 
     model = Model("cglb", params, (Xn, Yn), run_cfg=cglb_mod.CGLBConfig(),
                   mesh=mesh8)
     res = training.scipy_tol_minimize(
         model.loss_fn(), model.loss_fn_tol(), model.params,
-        model._carry_in(), 120, data=model.data)
+        model._carry_in(), 250, data=model.data)
     mes = [lv["max_error"] for lv in res.info["opt/levels"]]
     assert mes[0] == pytest.approx(1.0)
     assert mes == sorted(mes, reverse=True)
