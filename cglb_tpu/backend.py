@@ -50,13 +50,19 @@ class Model:
     STREAMING_THRESHOLD = 8192
 
     def __init__(self, kind: str, params, data, run_cfg: Optional[_RunCfg] = None,
-                 matvec: str = "auto", mesh=None, common_dtype: str = None):
+                 matvec: str = "auto", mesh=None, common_dtype: str = None,
+                 dispatch_bound: int = 0):
         self.kind = kind
         self.params = params
         X, Y = data
         self.data = (jnp.asarray(X), jnp.asarray(Y))
         self.run_cfg = run_cfg
         self.matvec_mode = matvec
+        # >0: on-device-optimizer training runs the dispatch-bounded step
+        # (parallel/dispatch.py) with this many CG iterations per device
+        # dispatch — full CG depth under per-dispatch wall-time limits
+        # (remote-worker watchdogs / preemption windows at N>=1M)
+        self.dispatch_bound = int(dispatch_bound)
         # metric evaluations reuse the training precision policy: "mixed"
         # selects the df32/gram fast paths for elbo/upper at scale
         if common_dtype is None:
@@ -215,6 +221,29 @@ class Model:
                               max_error=max_error)
 
         return fn
+
+    def bounded_step(self, optimizer):
+        """Dispatch-bounded training step for this model's configuration
+        (parallel/dispatch.bounded_train_step): same math as the monolithic
+        step, cut into <= self.dispatch_bound CG iterations per device
+        dispatch.  CGLB kinds with an internal CG solve only."""
+        if self.kind not in _CGLB_KINDS or self.run_cfg.v_is_external:
+            raise ValueError("dispatch-bounded training needs a CGLB model "
+                             "with the internal CG solve")
+        from .parallel.dispatch import bounded_train_step
+
+        mode = self.matvec_mode
+        if mode == "auto":
+            n = self.data[0].shape[0]
+            mode = ("streaming" if n >= self.STREAMING_THRESHOLD
+                    else "dense")
+        kwargs = {}
+        if self.mesh is not None:
+            kwargs["block"] = 512  # the sharded loss path's default tile
+        return bounded_train_step(self.run_cfg, optimizer, mesh=self.mesh,
+                                  matvec=mode,
+                                  iters_per_dispatch=self.dispatch_bound,
+                                  **kwargs)
 
     def _matvec_factory(self, pair: bool = False):
         """None -> dense K materialization (reference TF backend behavior);
@@ -443,6 +472,10 @@ class Jax:
     # CLI --max-cg-iters exposes it — at N>=1M each CG iteration is a multi-
     # second streaming matvec, so bounding it bounds per-dispatch time)
     max_cg_iters = 100
+    # >0: adam-family training drives the dispatch-bounded step with this
+    # many CG iterations per dispatch (CLI --dispatch-bound; full CG depth
+    # under per-dispatch watchdogs — parallel/dispatch.py)
+    dispatch_bound = 0
 
     @classmethod
     def configure_backend(cls, **kwargs):
@@ -454,6 +487,10 @@ class Jax:
             cls.mesh_size = int(kwargs["mesh"])
         if kwargs.get("max_cg_iters"):
             cls.max_cg_iters = int(kwargs["max_cg_iters"])
+        if kwargs.get("dispatch_bound") is not None:
+            # 0 must RESET (class attr persists across CLI invocations in
+            # one process, e.g. the sweep runner's in-process fallbacks)
+            cls.dispatch_bound = int(kwargs["dispatch_bound"])
 
     @classmethod
     def _make_mesh(cls):
@@ -549,7 +586,8 @@ class Jax:
             )
             return Model(kind, params, (X, Y), run_cfg,
                          matvec=cls.matvec_mode, mesh=cls._make_mesh(),
-                         common_dtype=cls.common_dtype)
+                         common_dtype=cls.common_dtype,
+                         dispatch_bound=cls.dispatch_bound)
         return Model("sgpr", params, (X, Y), matvec=cls.matvec_mode,
                      mesh=cls._make_mesh(), common_dtype=cls.common_dtype)
 
@@ -703,10 +741,21 @@ class Jax:
             )
         elif optimizer.startswith("adam"):
             lr = float(optimizer.split("_", maxsplit=1)[1])
-            res = _training.adam_minimize(
-                loss_fn, model.params, carry, num_steps, lr, logger,
-                data=data, sync_fn=sync_fn,
-            )
+            if (model.dispatch_bound > 0 and model.kind in _CGLB_KINDS
+                    and not model.run_cfg.v_is_external):
+                import optax
+
+                opt = optax.adam(lr)
+                res = _training.bounded_adam_minimize(
+                    model.bounded_step(opt), opt, model.params, carry,
+                    num_steps, logger, feval_stats_fn=stats_fn, data=data,
+                    sync_fn=sync_fn,
+                )
+            else:
+                res = _training.adam_minimize(
+                    loss_fn, model.params, carry, num_steps, lr, logger,
+                    data=data, sync_fn=sync_fn,
+                )
         else:
             raise NotImplementedError(optimizer)
         model.params = res.params

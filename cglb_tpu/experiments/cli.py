@@ -251,16 +251,23 @@ def _attach_leaves(group: click.Group) -> None:
                    "second streaming matvec: cap it to bound single-dispatch "
                    "time (warm-started training measures 7.2 mean / 20 max "
                    "steps per feval at the kin40k protocol point, PERF.md)")
+@click.option("--dispatch-bound", type=int, default=0,
+              help="adam-family training: run the dispatch-bounded step "
+                   "with this many CG iterations per device dispatch "
+                   "(0 = monolithic).  Full CG depth under per-dispatch "
+                   "wall-time limits — remote-worker watchdogs / "
+                   "preemption windows at N>=1M (parallel/dispatch.py)")
 @click.pass_context
 def main(ctx, backend, float_type, logdir, seed, matvec, keops, common_dtype,
-         mesh, max_cg_iters):
+         mesh, max_cg_iters, dispatch_bound):
     logdir_path = Path(logdir).expanduser().resolve()
     logdir_path.mkdir(exist_ok=True, parents=True)
     if keops is not None:
         matvec = "streaming" if keops else "dense"
     backend.configure_backend(logdir=str(logdir_path), matvec=matvec,
                               common_dtype=common_dtype, mesh=mesh,
-                              max_cg_iters=max_cg_iters)
+                              max_cg_iters=max_cg_iters,
+                              dispatch_bound=dispatch_bound)
     backend.set_default_float(float_type)
     backend.set_default_jitter(float_type)
     backend.set_seed(seed)

@@ -176,6 +176,14 @@ def bounded_train_step(cfg: _cglb.CGLBConfig, optimizer, *, mesh=None,
             if steps_done < cap or steps_done >= cfg.max_cg_iters:
                 break
         v = carry.state.v
+        # Free the preconditioner before the finalize dispatch: P.A is the
+        # one [M, N]-sized buffer this driver keeps alive across dispatches
+        # (4 GiB at N=1M/M=1024 f32), and finalize's common-terms rebuild
+        # peaks HBM on its own — holding both can OOM a 16 GiB chip that
+        # the monolithic step (where XLA frees A before the backward) fits.
+        for leaf in jax.tree_util.tree_leaves(P):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
         new_params, opt_state, loss = _finalize(params, opt_state, X, Y, v)
         aux = _cglb.CGLBAux(v=v, cg_steps=jnp.asarray(steps_done, jnp.int32),
                             cg_residual_error=stats.residual_error)

@@ -392,6 +392,43 @@ def adam_minimize(
                          final_loss=float(loss))
 
 
+def bounded_adam_minimize(
+    step,
+    optimizer,
+    params,
+    state,
+    num_steps: int,
+    logger: Optional[Logger] = None,
+    feval_stats_fn: Callable[[Any], dict] = None,
+    data: tuple = (),
+    sync_fn: Callable[[Any, Any], None] = None,
+) -> OptimizeResult:
+    """Adam loop over a dispatch-bounded training step
+    (parallel/dispatch.bounded_train_step, built by backend.Model.
+    bounded_step): each optimizer step runs as a handful of short device
+    dispatches instead of one feval-long dispatch, so full-depth CG
+    survives per-dispatch wall-time limits at N>=1M (CLI
+    --dispatch-bound; PERF.md 'Large-N training')."""
+    opt_state = optimizer.init(params)
+
+    if logger is not None:
+        logger.timer.reset()
+        logger.timer.start()
+
+    loss = np.inf
+    for i in range(num_steps):
+        v0 = getattr(state, "v", state)  # carry is CGLBAux after step 0
+        params, opt_state, state, loss = step(params, opt_state, v0, *data)
+        if logger is not None:
+            if feval_stats_fn is not None:
+                logger.log_for_feval(**feval_stats_fn(state))
+            if sync_fn is not None:
+                sync_fn(params, state)
+            logger(i)
+    return OptimizeResult(params=params, state=state, num_iters=num_steps,
+                          final_loss=float(loss))
+
+
 def native_lbfgs_minimize(
     loss_fn: LossFn,
     params,

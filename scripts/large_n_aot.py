@@ -46,6 +46,13 @@ def main() -> None:
                          "(>=5 is the large-N training proof; each step is "
                          "its own device dispatch so the watchdog bound "
                          "applies per step, not to the whole run)")
+    ap.add_argument("--bounded", type=int, default=0, metavar="IPD",
+                    help="use the dispatch-bounded step (parallel/dispatch."
+                         "bounded_train_step) with IPD CG iterations per "
+                         "device dispatch instead of the monolithic AOT "
+                         "step — full CG depth under a per-dispatch "
+                         "watchdog (no memory_analysis in this mode; "
+                         "compile is folded into step-0 wall)")
     ap.add_argument("--max-cg-iters", type=int, default=100,
                     help="CG iteration cap.  At N~1M each CG iteration is a "
                          "~3-7 s streaming matvec, and an uncapped 100-iter "
@@ -101,24 +108,33 @@ def main() -> None:
 
     Xs, Ys = sharded.shard_data(mesh, jnp.asarray(X), jnp.asarray(Y))
     opt = optax.adam(0.01)
-    step = sharded.sharded_train_step(mesh, cfg, opt,
-                                      matvec=args.matvec, block=args.block)
     opt_state = opt.init(params)
 
-    t0 = time.perf_counter()
-    lowered = step.lower(params, opt_state, v0, Xs, Ys)
-    t_lower = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    compiled = lowered.compile()
-    t_compile = time.perf_counter() - t0
-
-    mem = compiled.memory_analysis()
     rec = {
         "n": args.n, "d": args.d, "m": args.m,
         "devices": args.devices, "matvec": args.matvec,
         "block": args.block, "platform": devs[0].platform,
-        "lower_s": round(t_lower, 2), "compile_s": round(t_compile, 2),
     }
+
+    if args.bounded:
+        from cglb_tpu.parallel import dispatch as dispatch_mod
+
+        rec["bounded_iters_per_dispatch"] = args.bounded
+        compiled = dispatch_mod.bounded_train_step(
+            cfg, opt, mesh=mesh, matvec=args.matvec, block=args.block,
+            iters_per_dispatch=args.bounded)
+        mem = None
+    else:
+        step = sharded.sharded_train_step(mesh, cfg, opt,
+                                          matvec=args.matvec,
+                                          block=args.block)
+        t0 = time.perf_counter()
+        lowered = step.lower(params, opt_state, v0, Xs, Ys)
+        rec["lower_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        rec["compile_s"] = round(time.perf_counter() - t0, 2)
+        mem = compiled.memory_analysis()
     if mem is not None:
         for key in ("argument_size_in_bytes", "output_size_in_bytes",
                     "temp_size_in_bytes", "generated_code_size_in_bytes",

@@ -129,6 +129,54 @@ def test_bounded_step_multi_step_improves(rng):
     assert losses[-1] < losses[0]
 
 
+def test_cg_carry_checkpoints_mid_solve(rng):
+    """The CG carry round-trips through host numpy (a checkpoint) and the
+    resumed solve finishes identically — the failure-recovery window is one
+    CG chunk, not one feval."""
+    X, Y, params = _setup(rng)
+    sigma_sq = params.noise_variance.value
+    matvec = op_mod.make_dense_operator(params.kernel, X, sigma_sq)
+    ct = sgpr.common_terms(params, X, None)
+    P = cglb._make_precond(ct, sigma_sq, cglb.CGLBConfig(), consistent_ct=True)
+    b = Y.T
+    me, max_iters = 1e-10, 60
+
+    carry = cg_mod.cg_init(matvec, b, cglb.init_v0(X.shape[0]), P)
+    carry, _ = cg_mod.cg_advance(matvec, b, P, carry, me, 7)
+
+    # "checkpoint": every leaf to host numpy, rebuild the pytree
+    leaves, treedef = jax.tree_util.tree_flatten(carry)
+    restored = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(np.asarray(l)) for l in leaves])
+
+    carry, stats = cg_mod.cg_advance(matvec, b, P, carry, me, max_iters)
+    carry2, stats2 = cg_mod.cg_advance(matvec, b, P, restored, me, max_iters)
+    assert int(stats.steps) == int(stats2.steps)
+    np.testing.assert_array_equal(np.asarray(carry.state.v),
+                                  np.asarray(carry2.state.v))
+
+
+def test_backend_adam_dispatch_bound(rng, tmp_path):
+    """--dispatch-bound wiring: Model.bounded_step drives -o adam_* training
+    and lands where the monolithic adam loop lands."""
+    from cglb_tpu.backend import Model, Jax
+
+    X, Y, params = _setup(rng)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    cfg = cglb.CGLBConfig(max_error=0.1, max_cg_iters=40)
+
+    m1 = Model("cglb", params, (Xn, Yn), run_cfg=cfg, matvec="dense")
+    r1 = Jax.optimize(m1, None, 8, optimizer="adam_0.05")
+
+    m2 = Model("cglb", params, (Xn, Yn), run_cfg=cfg, matvec="dense",
+               dispatch_bound=4)
+    r2 = Jax.optimize(m2, None, 8, optimizer="adam_0.05")
+
+    assert np.isfinite(r2.final_loss)
+    np.testing.assert_allclose(r2.final_loss, r1.final_loss, rtol=1e-5)
+    assert isinstance(r2.state, cglb.CGLBAux)
+
+
 def test_bounded_step_matches_sharded_mesh(rng):
     """Mesh variant: bounded step == sharded_train_step output."""
     devs = jax.devices()
