@@ -213,21 +213,36 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     return A, AAT, AW
 
 
-def _kuf_block_df32(params: SGPRParams, Z, Xc):
+def _kuf_block_df32(params: SGPRParams, Z, Xc, pallas: bool = True):
     """Kuf block at fp64-grade accuracy without fp64 transcendentals.
 
-    The fp64 *elementwise* kernel profile (emulated sqrt/exp over N*M
-    entries) dominates common-terms time on TPU.  Here the squared distance
-    is assembled exactly in fp64 (one small-D matmul + O(NM) adds — cheap),
-    and the profile rho(d2) is evaluated in compensated two-float f32
-    arithmetic (ops/df32): ~1e-11 relative per entry, ~f32 cost.  Round 1's
-    plain-f32 build (1e-7 per entry) lost ~3e-4 on the bound because the
-    L^-1 trisolve amplifies entry errors by kappa(Kuu) — df32 keeps the
-    amplified error below 1e-8 (PERF.md)."""
+    TPU fast path (``pallas=True``, the default): the fused Pallas builder
+    (ops/kuf_pallas) — df32 direct-difference d2 assembly in one Pallas
+    pass + the XLA df32 profile fused behind it, analytic matmul-only
+    backward.  Measured at kin40k shape the XLA route below spends ~152 of
+    156 ms in the emulated-fp64 norm-expansion d2 (~7 HBM passes over the
+    [M, N] output); the fused builder is 37.6 ms fwd / 38.3 ms fwd+grad vs
+    170 / 280 ms for this route (scripts/bench_kuf.py, on-chip).
+    Callers under a GSPMD mesh pass ``pallas=False``: pallas_call has no
+    SPMD partitioning rule, so inside a sharding-constrained graph it would
+    silently replicate (the sharded path keeps this XLA route, whose ops
+    GSPMD partitions row-wise).
+
+    XLA route: the squared distance is assembled exactly in fp64 (one
+    small-D matmul + O(NM) adds), and the profile rho(d2) is evaluated in
+    compensated two-float f32 arithmetic (ops/df32): ~1e-11 relative per
+    entry, ~f32 cost.  Round 1's plain-f32 build (1e-7 per entry) lost
+    ~3e-4 on the bound because the L^-1 trisolve amplifies entry errors by
+    kappa(Kuu) — df32 keeps the amplified error below 1e-8 (PERF.md)."""
     from ..ops import df32 as _df
 
     ls = params.kernel.lengthscales.value
     var = params.kernel.variance.value
+    if pallas:
+        from ..ops import kuf_pallas as _kp
+
+        if _kp.supported(params.kernel, Xc.dtype, Xc.shape[1]):
+            return _kp.kuf_build(params.kernel, Z, Xc)
     # d2 stays EXACT fp64 (norm-expansion cancellation must happen at fp64:
     # a df32 assembly loses ~3.5 digits on uncentered / small-lengthscale
     # data where zn + xn >> d2, and XLA fuses these few emulated-fp64
@@ -466,7 +481,8 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
         # layout copy — measured 5.24 GiB EXTRA live next to A itself at
         # houseelectric scale (PERF.md "Large-N training graph").
         xc = _cst(xc, data_axis, None)
-        kuf_c = _cst(_kuf_block_df32(params, Z, xc) * mask[None, :],
+        kuf_c = _cst(_kuf_block_df32(params, Z, xc,
+                                     pallas=mesh is None) * mask[None, :],
                      None, data_axis)
         if with_a and Cinv is not None:
             a_t = jnp.dot(kuf_c.astype(a_dtype).T, L_cast.T,

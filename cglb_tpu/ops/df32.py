@@ -219,9 +219,15 @@ def df_exp(x: DF) -> DF:
     e = df_add(e, df_mul_c(t4, 1.0 / 24.0))
     e = df_add_f(e, t5 * ptail)
 
-    # exact power of two: ldexp manipulates the exponent bits (XLA's exp2 is
-    # a polynomial approximation with ~1e-6 relative error — measured)
-    scale = jnp.ldexp(_F32(1.0), k.astype(jnp.int32))
+    # exact power of two by direct exponent-bit construction ((k+127)<<23
+    # bitcast to f32) — bit-identical to jnp.ldexp for k in [-126, 127]
+    # (guaranteed by the +-87 clamp above: |k| <= 126), but also lowerable
+    # by Mosaic, so this df_exp runs unchanged INSIDE Pallas kernel bodies
+    # (ops/kuf_pallas) where jnp.ldexp's gather-based lowering does not.
+    # XLA's exp2 is a polynomial approximation (~1e-6 relative — measured),
+    # hence bit manipulation rather than 2.0**k.
+    ki = k.astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
     return DF(e.hi * scale, e.lo * scale)
 
 
