@@ -172,9 +172,70 @@ def _phi(X):
     return jnp.tril(X) - 0.5 * jnp.diag(jnp.diagonal(X))
 
 
+# Backward matmul algorithm for the five [M, M] cotangent products:
+#   "auto"  = native-dtype products for fp64 inputs, explicit f32-HIGHEST
+#             for f32 inputs on TPU;
+#   "int8" / "f32" / "fp64" force a branch (tests).
+# Measured dead ends, kept as forcible branches with the numbers (kin40k
+# feval probes, 2026-08-19):
+#   * f32-HIGHEST for fp64 inputs: the backward sandwiches cotangents
+#     between C = L^-1 twice, so f32 ACCUMULATION noise amplifies with
+#     kappa(P) — cotangent error 3.5e-6 at kappa=1e2 but 8e-4 at kappa=1e6
+#     (reachable for Kuu at the 1e-6 jitter floor).  A compensated split
+#     (A = Ah + Al, 3 f32-HIGHEST products) measures the SAME 9e-4 at
+#     kappa=1e6: the noise is the f32 accumulator, not the input cast, so
+#     splitting cannot fix it.
+#   * int8 exact limbs (5-limb batched, ops/intgram): accuracy excellent
+#     and kappa-robust (6e-7 at kappa=1e6, 2.7e-6 at 1e8), but the chained
+#     quantize/recombine overhead LOST 0.48 s/feval (1.300 vs 0.824 s) and
+#     +290 s cold compile at the kin40k shape; the per-pair form pushed the
+#     cold compile past 900 s.
+# So fp64 inputs keep the emulated-fp64 products (~50 ms per chol_inv
+# instance — the accuracy they need at a price nothing measured beats).
+# f32 inputs (the preconditioner's chol) use explicit f32-HIGHEST: a plain
+# `@` at DEFAULT precision lowers to bf16 MXU passes on TPU (~4e-3 error),
+# so the explicit precision is a correctness guard there, not a speedup.
+BACKWARD = "auto"
+
+
+def _bwd_algo(dtype) -> str:
+    if BACKWARD == "auto":
+        if jax.default_backend() == "tpu" and dtype != jnp.float64:
+            return "f32"  # explicit HIGHEST: the bf16-lowering guard
+        return "fp64"
+    return BACKWARD
+
+
 def _chol_bwd_matmul(L, C, dL, dC):
     """Shared backward: cotangents (dL, dC) -> symmetric dP, matmuls only."""
-    gL = dL - C.T @ (dC @ C.T)  # C = L^-1: <dC, -C dL C> = <-C^T dC C^T, dL>
+    algo = _bwd_algo(L.dtype)
+    if algo == "int8":
+        from .intgram import MAX_K, matmul_exact_int8
+
+        if L.shape[0] <= MAX_K:
+            # 5 limbs (35-bit input quantization, kappa-amplified to ~1e-5
+            # at kappa=1e8 — 2000x finer than f32's cast) and BATCHED: the
+            # per-pair form's 43 dot HLOs per product blew the loss+grad
+            # cold compile past 900 s (five sites; intgram docstring)
+            mm = lambda a, b: matmul_exact_int8(a, b, limbs=5, batched=True)
+        else:
+            mm = lambda a, b: a @ b  # pragma: no cover - M > 130k unplanned
+        gL = dL - mm(C.T, mm(dC, C.T))
+        Phi = _phi(mm(L.T, gL))
+        return mm(C.T, mm(0.5 * (Phi + Phi.T), C))
+    if algo == "f32":
+        hi = jax.lax.Precision.HIGHEST
+        f = jnp.float32
+        Lf, Cf = L.astype(f), C.astype(f)
+        dLf, dCf = dL.astype(f), dC.astype(f)
+        # C = L^-1: <dC, -C dL C> = <-C^T dC C^T, dL>
+        gL = dLf - jnp.dot(Cf.T, jnp.dot(dCf, Cf.T, precision=hi),
+                           precision=hi)
+        Phi = _phi(jnp.dot(Lf.T, gL, precision=hi))
+        Pbar = jnp.dot(Cf.T, jnp.dot(0.5 * (Phi + Phi.T), Cf, precision=hi),
+                       precision=hi)
+        return Pbar.astype(L.dtype)
+    gL = dL - C.T @ (dC @ C.T)
     Phi = _phi(L.T @ gL)
     Pbar = C.T @ (0.5 * (Phi + Phi.T)) @ C
     return Pbar

@@ -85,9 +85,10 @@ def _limb_planes(kuf, s):
     return planes
 
 
-def _scaled_pair_sum(terms, k, out_dtype, shape):
-    """sum_s 2^(7s - 106) * (sum of the int32 pair-products with weight s),
-    with the emulated-fp64 work minimized.
+def _scaled_pair_sum(terms, k, out_dtype, shape, bias: int = 106):
+    """sum_s 2^(7s - bias) * (sum of the int32 pair-products with weight s),
+    with the emulated-fp64 work minimized (bias = 2 * payload bits; 106 for
+    the full 53-bit planes).
 
     ``terms`` is a list of (s, P, bound) with P an exact int32 pair-product
     whose entries are bounded by ``bound * k``.  Naively every P costs one
@@ -117,7 +118,7 @@ def _scaled_pair_sum(terms, k, out_dtype, shape):
             if acc is None:  # single term already at the headroom: emit raw
                 acc = plist[i][0]
                 i += 1
-            C = C + np.float64(2.0 ** (7 * s - 106)) * acc.astype(out_dtype)
+            C = C + np.float64(2.0 ** (7 * s - bias)) * acc.astype(out_dtype)
     return C
 
 
@@ -170,21 +171,31 @@ def _row_scales(absmax):
     return jnp.ldexp(one, e.astype(jnp.int32)).astype(absmax.dtype)
 
 
-def _signed_limb_planes(q):
-    """Eight signed int8 limb planes of round(q * 2^53), |q| <= 0.5.
+def _payload_bits(limbs: int) -> int:
+    """Quantization payload carried by ``limbs`` 7-bit planes (capped at
+    fp64's 53-bit integer-exactness limit; 8 limbs carry 56 >= 53)."""
+    return min(53, 7 * limbs)
+
+
+def _signed_limb_planes(q, limbs: int = NUM_LIMBS):
+    """``limbs`` signed int8 limb planes of round(q * 2^payload), |q| <= 0.5.
 
     Sign-magnitude: extract the 7-bit limbs of |q| exactly as _limb_planes,
-    then fold the sign into every plane, so q = 2^-53 * sum_m plane_m 2^(7m)
-    with plane entries in [-127, 127] (int8-representable; products still
-    bounded by 127^2 so int32 accumulation stays exact up to MAX_K)."""
+    then fold the sign into every plane, so q ~= 2^-payload *
+    sum_m plane_m 2^(7m) with plane entries in [-127, 127]
+    (int8-representable; products still bounded by 127^2 so int32
+    accumulation stays exact up to MAX_K).  limbs < 8 trades accuracy for
+    matmul count: the reconstruction carries the 2^-(payload+1) input
+    rounding instead of fp64's 2^-54 (gradient-grade consumers use 5)."""
+    payload = _payload_bits(limbs)
     sgn = jnp.where(q < 0.0, -1, 1).astype(jnp.int32)
-    nq = jnp.round(jnp.abs(q) * np.float64(2.0**53))
+    nq = jnp.round(jnp.abs(q) * np.float64(2.0**payload))
     hi = jnp.floor(nq * np.float64(2.0**-28))
     lo = nq - hi * np.float64(2.0**28)
     hi32 = hi.astype(jnp.int32)
     lo32 = lo.astype(jnp.int32)
     planes = []
-    for m in range(NUM_LIMBS):
+    for m in range(limbs):
         base = 7 * m
         if base >= 28:
             plane = jnp.right_shift(hi32, base - 28) & 127
@@ -194,7 +205,7 @@ def _signed_limb_planes(q):
     return planes
 
 
-def matmul_exact_int8(A, B):
+def matmul_exact_int8(A, B, limbs: int = NUM_LIMBS, batched: bool = False):
     """C = A @ B to fp64 grade via signed int8-limb MXU matmuls.
 
     The mixed common-terms path's remaining emulated-fp64 [M, M] matmuls
@@ -217,29 +228,65 @@ def matmul_exact_int8(A, B):
     usual cancellation caveat shared by both.
 
     Gradients do not flow (consumers wrap this in custom_vjp with an
-    f32-HIGHEST analytic backward, models/sgpr._mm_f64grade)."""
+    f32-HIGHEST analytic backward, models/sgpr._mm_f64grade).
+
+    ``limbs`` < 8 reduces the plane count for consumers that only need
+    gradient-grade results (the input quantization floor becomes
+    2^-(7*limbs+1) instead of 2^-54; see _signed_limb_planes).
+
+    ``batched=True`` runs ALL limb-pair products as ONE int8 MXU matmul of
+    the stacked planes, [limbs*M, K] x [K, limbs*N] -> [limbs*M, limbs*N]
+    int32, then slices the pairs back out for the grouped scale-add.  Same
+    exact integer math (each output element is still one int32-exact
+    pair-dot), ~1.5x the MXU work (the dropped low pairs are computed
+    anyway) — but ONE dot HLO instead of limbs^2 - drop.  XLA's compile
+    cost on TPU scales with dot *instances*: the per-pair form measured
+    ~50 s of extra cold compile per call site inside the CGLB loss+grad
+    graph (five call sites pushed the 183 s compile past 900 s), while the
+    batched form adds seconds."""
     if A.shape[1] > MAX_K:
         raise ValueError(
             f"contraction dim {A.shape[1]} overflows the int32 "
             f"accumulator; chunk to <= {MAX_K}"
         )
+    # low-significance pair cutoff: pairs with m + m' <= cutoff total
+    # < k * 2^(7*(cutoff+2) - 2*payload) of the per-entry bound — for the
+    # full 8 limbs that is the documented s <= 5 fp64-floor drop; fewer
+    # limbs keep every pair (the quantization floor dominates)
+    payload = _payload_bits(limbs)
+    cutoff = 2 * limbs - 11
     sa = _row_scales(jnp.max(jnp.abs(A), axis=1))  # [M]
     sb = _row_scales(jnp.max(jnp.abs(B), axis=0))  # [N]
     qa = A / sa[:, None]
     qb = B / sb[None, :]
-    planes_a = _signed_limb_planes(qa)
-    planes_b = _signed_limb_planes(qb)
+    planes_a = _signed_limb_planes(qa, limbs)
+    planes_b = _signed_limb_planes(qb, limbs)
+    M, N = A.shape[0], B.shape[1]
     terms = []
-    for m in range(NUM_LIMBS):
-        for mp in range(NUM_LIMBS):
-            if m + mp <= 5:
-                continue  # below the fp64 rounding floor (docstring)
-            P = jax.lax.dot_general(
-                planes_a[m], planes_b[mp],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            terms.append((m + mp, P, 127 * 127))
-    C = _scaled_pair_sum(terms, A.shape[1], A.dtype,
-                         (A.shape[0], B.shape[1]))
+    if batched:
+        Abig = jnp.concatenate(planes_a, axis=0)  # [limbs*M, K]
+        Bbig = jnp.concatenate(planes_b, axis=1)  # [K, limbs*N]
+        G = jax.lax.dot_general(
+            Abig, Bbig,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(limbs, M, limbs, N)
+        for m in range(limbs):
+            for mp in range(limbs):
+                if m + mp <= cutoff:
+                    continue
+                terms.append((m + mp, G[m, :, mp, :], 127 * 127))
+    else:
+        for m in range(limbs):
+            for mp in range(limbs):
+                if m + mp <= cutoff:
+                    continue
+                P = jax.lax.dot_general(
+                    planes_a[m], planes_b[mp],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                terms.append((m + mp, P, 127 * 127))
+    C = _scaled_pair_sum(terms, A.shape[1], A.dtype, (M, N),
+                         bias=2 * payload)
     return C * sa[:, None] * sb[None, :]

@@ -228,3 +228,33 @@ def test_mixed_loss_grad_matches_fp64_path(rng):
     scale = float(jnp.max(jnp.abs(flat_f))) + 1e-30
     np.testing.assert_allclose(flat_m / scale, flat_f / scale,
                                rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("kappa,tol", [(1e2, 1e-8), (1e8, 3e-5)])
+def test_int8_backward_matches_fp64_kappa_independent(rng, monkeypatch,
+                                                      kappa, tol):
+    """The forcible int8 backward branch (5-limb batched) must track the
+    fp64 backward at descent-direction grade ACROSS conditioning — the
+    accuracy half of the measured trade recorded at chol64.BACKWARD (its
+    runtime lost 0.48 s/feval on chip, so "auto" keeps fp64; the f32
+    branch's 8e-4 error at kappa=1e6 is the accumulation-noise failure both
+    alternatives were probed against)."""
+    M = 96
+    W = rng.normal(size=(M, 2 * M))
+    P0 = W @ W.T / (2 * M) + np.eye(M)
+    w, V = np.linalg.eigh(P0)
+    w = np.geomspace(1.0 / kappa, 1.0, M)
+    P = jnp.asarray(0.5 * ((V * w) @ V.T + ((V * w) @ V.T).T))
+    Wd = jnp.asarray(rng.normal(size=(M, M)))
+    Q = jnp.eye(M) + 0.01 * jnp.asarray(rng.normal(size=(M, M)))
+
+    def f(Q):
+        L, C = chol_inv(Q @ P @ Q.T + jnp.eye(M) * 1e-6)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + 1e-3 * jnp.sum(C * Wd)
+
+    monkeypatch.setattr(chol64, "BACKWARD", "fp64")
+    g64 = jax.grad(f)(Q)
+    monkeypatch.setattr(chol64, "BACKWARD", "int8")
+    gi = jax.grad(f)(Q)
+    err = float(jnp.max(jnp.abs(gi - g64)) / jnp.max(jnp.abs(g64)))
+    assert err < tol, (kappa, err)

@@ -165,3 +165,41 @@ def test_gram_terms_int8_forward_matches_fp64(rng, monkeypatch):
     # chunked path too
     e_int8_c = float(sgpr.elbo(params, Xj, Yj, mixed=True))
     np.testing.assert_allclose(e_int8_c, e_fp64, rtol=1e-12)
+
+
+def test_matmul_int8_batched_bitwise_equals_perpair(rng):
+    """batched=True (one stacked-plane dot) must be BIT-identical to the
+    per-pair dot form at any limb count: same int32 pair products, same
+    grouped scale-add order (the batched form exists purely to cut dot HLO
+    instances — 43 per call site pushed the CGLB loss+grad cold compile
+    past 900 s on TPU)."""
+    from cglb_tpu.ops.intgram import matmul_exact_int8
+
+    A = jnp.asarray(rng.normal(size=(48, 70)) *
+                    np.exp(2 * rng.normal(size=(48, 70))))
+    B = jnp.asarray(rng.normal(size=(70, 36)))
+    for limbs in (8, 5, 4):
+        got_b = np.asarray(matmul_exact_int8(A, B, limbs=limbs,
+                                             batched=True))
+        got_p = np.asarray(matmul_exact_int8(A, B, limbs=limbs,
+                                             batched=False))
+        assert np.array_equal(got_b, got_p), limbs
+
+
+def test_matmul_int8_reduced_limbs_error_envelope(rng):
+    """limbs=5 carries a 2^-36 rowwise/columnwise-relative quantization
+    floor (the chol64 backward's gradient-grade setting); limbs=8 stays at
+    the fp64 floor."""
+    from cglb_tpu.ops.intgram import matmul_exact_int8
+
+    A = jnp.asarray(rng.normal(size=(64, 100)))
+    B = jnp.asarray(rng.normal(size=(100, 52)))
+    ref = np.asarray(A) @ np.asarray(B)
+    sc = (np.abs(np.asarray(A)).max(1)[:, None]
+          * np.abs(np.asarray(B)).max(0)[None, :] * A.shape[1])
+    err5 = np.max(np.abs(np.asarray(
+        matmul_exact_int8(A, B, limbs=5, batched=True)) - ref) / sc)
+    err8 = np.max(np.abs(np.asarray(
+        matmul_exact_int8(A, B, limbs=8, batched=True)) - ref) / sc)
+    assert err5 < 1e-10, err5
+    assert err8 < 1e-15, err8
