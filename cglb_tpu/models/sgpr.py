@@ -213,7 +213,8 @@ def _kuf_terms(params: SGPRParams, L, X, sigma_scale, W=None,
     return A, AAT, AW
 
 
-def _kuf_block_df32(params: SGPRParams, Z, Xc, pallas: bool = True):
+def _kuf_block_df32(params: SGPRParams, Z, Xc, pallas: bool = True,
+                    mesh=None, data_axis=None):
     """Kuf block at fp64-grade accuracy without fp64 transcendentals.
 
     TPU fast path (``pallas=True``, the default): the fused Pallas builder
@@ -223,10 +224,13 @@ def _kuf_block_df32(params: SGPRParams, Z, Xc, pallas: bool = True):
     156 ms in the emulated-fp64 norm-expansion d2 (~7 HBM passes over the
     [M, N] output); the fused builder is 37.6 ms fwd / 38.3 ms fwd+grad vs
     170 / 280 ms for this route (scripts/bench_kuf.py, on-chip).
-    Callers under a GSPMD mesh pass ``pallas=False``: pallas_call has no
-    SPMD partitioning rule, so inside a sharding-constrained graph it would
-    silently replicate (the sharded path keeps this XLA route, whose ops
-    GSPMD partitions row-wise).
+    Under a TPU mesh (``mesh``/``data_axis`` given) the same builder runs
+    per-device via shard_map (ops/kuf_pallas.kuf_build_sharded) — each
+    device assembles its own column block, cotangents psum over ICI.  A
+    bare ``pallas_call`` inside the GSPMD graph would silently replicate
+    (no SPMD partitioning rule), hence the explicit shard_map wrapper; a
+    non-TPU mesh (CPU test meshes) or a non-divisible N falls back to the
+    XLA route below, whose ops GSPMD partitions row-wise.
 
     XLA route: the squared distance is assembled exactly in fp64 (one
     small-D matmul + O(NM) adds), and the profile rho(d2) is evaluated in
@@ -241,8 +245,14 @@ def _kuf_block_df32(params: SGPRParams, Z, Xc, pallas: bool = True):
     if pallas:
         from ..ops import kuf_pallas as _kp
 
-        if _kp.supported(params.kernel, Xc.dtype, Xc.shape[1]):
-            return _kp.kuf_build(params.kernel, Z, Xc)
+        if mesh is None:
+            if _kp.supported(params.kernel, Xc.dtype, Xc.shape[1]):
+                return _kp.kuf_build(params.kernel, Z, Xc)
+        elif (mesh.devices.flat[0].platform == "tpu"
+              and Xc.shape[0] % mesh.shape[data_axis] == 0
+              and _kp.supported(params.kernel, Xc.dtype, Xc.shape[1])):
+            return _kp.kuf_build_sharded(params.kernel, Z, Xc, mesh,
+                                         data_axis)
     # d2 stays EXACT fp64 (norm-expansion cancellation must happen at fp64:
     # a df32 assembly loses ~3.5 digits on uncentered / small-lengthscale
     # data where zn + xn >> d2, and XLA fuses these few emulated-fp64
@@ -481,8 +491,8 @@ def _gram_terms(params: SGPRParams, L, X, sigma_scale, W=None,
         # layout copy — measured 5.24 GiB EXTRA live next to A itself at
         # houseelectric scale (PERF.md "Large-N training graph").
         xc = _cst(xc, data_axis, None)
-        kuf_c = _cst(_kuf_block_df32(params, Z, xc,
-                                     pallas=mesh is None) * mask[None, :],
+        kuf_c = _cst(_kuf_block_df32(params, Z, xc, mesh=mesh,
+                                     data_axis=data_axis) * mask[None, :],
                      None, data_axis)
         if with_a and Cinv is not None:
             a_t = jnp.dot(kuf_c.astype(a_dtype).T, L_cast.T,

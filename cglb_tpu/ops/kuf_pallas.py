@@ -66,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import df32 as _df
 from . import kernels as _k
 
-__all__ = ["kuf_build", "supported"]
+__all__ = ["kuf_build", "kuf_build_sharded", "supported"]
 
 _GAMMA = {"rbf": 0.5, "mat32": 3.0}
 
@@ -336,3 +336,48 @@ def kuf_build(kernel, Z, X, block_m: int = None, block_n: int = None,
     ls = kernel.lengthscales.value
     var = kernel.variance.value
     return _kuf_pallas(spec, Z, X, ls, var)
+
+
+def kuf_build_sharded(kernel, Z, X, mesh, data_axis: str,
+                      block_m: int = None, block_n: int = None,
+                      interpret: bool = None) -> jnp.ndarray:
+    """:func:`kuf_build` under a device mesh: X row-sharded over
+    ``data_axis``, Kuf out column-sharded [M, N] (the layout the sharded
+    gram/common-terms path constrains it to, parallel/sharded.py).
+
+    pallas_call has no GSPMD partitioning rule, so instead of a sharding
+    constraint this runs the whole builder per-device under ``shard_map``:
+    each device assembles its own [M, N/n_dev] column block from its X
+    rows; Z/ls/var ride replicated, and their per-shard cotangents are
+    psummed by shard_map's reverse automatically (same AD contract as the
+    sharded streaming matvec, parallel/streaming.py).  Callers must keep
+    N divisible by the mesh's data-axis size (the chunked gram path sizes
+    its chunks that way); ``interpret`` defaults from the MESH's platform,
+    not the process default backend — CPU test meshes run the kernel
+    interpreted."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    n_dev = mesh.shape[data_axis]
+    if X.shape[0] % n_dev != 0:
+        raise ValueError(
+            f"N={X.shape[0]} not divisible by mesh axis {data_axis}={n_dev}"
+        )
+    spec = _Spec(
+        family=_family_of(kernel),
+        block_m=block_m or BLOCK_M,
+        block_n=block_n or BLOCK_N,
+        input_dim=Z.shape[1],
+        interpret=interpret,
+    )
+    fn = shard_map(
+        functools.partial(_kuf_pallas, spec),
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, None), P(), P()),
+        out_specs=P(None, data_axis),
+        # pallas_call outputs carry no varying-mesh-axis metadata
+        check_vma=False,
+    )
+    return fn(Z, X, kernel.lengthscales.value, kernel.variance.value)

@@ -112,9 +112,10 @@ def _sharded_common_terms(mesh: Mesh, params: _sgpr.SGPRParams, X,
         LB, LBi = _chol64.chol_inv(B)
     else:
         if mixed:
-            # pallas=False: no SPMD partitioning rule for pallas_call —
-            # GSPMD must row-partition the XLA build (sgpr._kuf_block_df32)
-            kuf = _sgpr._kuf_block_df32(params, Z, X, pallas=False)  # [M, N]
+            # TPU mesh: per-device Pallas build via shard_map; otherwise
+            # the XLA build, GSPMD-row-partitioned (sgpr._kuf_block_df32)
+            kuf = _sgpr._kuf_block_df32(params, Z, X, mesh=mesh,
+                                        data_axis=DATA_AXIS)  # [M, N]
         else:
             kuf = _k.K(params.kernel, Z, X)
         kuf = _cshard(mesh, kuf, P(None, DATA_AXIS))

@@ -130,3 +130,49 @@ def test_x_cotangent_is_zero(rng):
                                         block_n=64, interpret=True))
     )(X)
     assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_sharded_build_matches_xla_route():
+    """kuf_build_sharded on an 8-device CPU mesh (interpret mode forced):
+    value matches the XLA df32 route, and the replicated-input cotangents
+    (Z, ls, var) come back correctly psummed by shard_map's reverse."""
+    from cglb_tpu.parallel import mesh as mesh_mod
+    from cglb_tpu.parallel.mesh import DATA_AXIS
+
+    rng = np.random.default_rng(7)
+    mesh = mesh_mod.data_mesh(8)
+    params, Z, X = _setup(rng, "Matern32", m=16, n=64, d=3)
+
+    def build_sharded(kern, Zv):
+        return kp.kuf_build_sharded(kern, Zv, X, mesh, DATA_AXIS,
+                                    block_m=16, block_n=32, interpret=True)
+
+    got = build_sharded(params.kernel, Z)
+    want = sgpr_mod._kuf_block_df32(params, Z, X, pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-11)
+
+    W = jnp.asarray(rng.normal(size=(16, 64)))
+    g_got = jax.grad(
+        lambda kern: jnp.sum(W * build_sharded(kern, Z)))(params.kernel)
+    def xla_loss(kern):
+        p2 = type(params)(kernel=kern, inducing_Z=params.inducing_Z,
+                          noise_variance=params.noise_variance,
+                          mean=params.mean, v0=params.v0)
+        return jnp.sum(W * sgpr_mod._kuf_block_df32(p2, Z, X, pallas=False))
+
+    g_want = jax.grad(xla_loss)(params.kernel)
+    for a, b in zip(jax.tree_util.tree_leaves(g_got),
+                    jax.tree_util.tree_leaves(g_want)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5 * scale)
+
+    gZ_got = jax.grad(
+        lambda Zv: jnp.sum(W * build_sharded(params.kernel, Zv)))(Z)
+    gZ_want = jax.grad(
+        lambda Zv: jnp.sum(W * sgpr_mod._kuf_block_df32(
+            params, Zv, X, pallas=False)))(Z)
+    scale = float(jnp.max(jnp.abs(gZ_want)))
+    np.testing.assert_allclose(np.asarray(gZ_got), np.asarray(gZ_want),
+                               rtol=0, atol=2e-5 * scale)
