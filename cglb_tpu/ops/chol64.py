@@ -69,6 +69,43 @@ __all__ = ["chol_inv", "chol_inv_retry"]
 ALGO = "auto"
 BLOCK = 256
 
+# Matmul algorithm for the O(M^2 b) / O(M^3) products INSIDE the blocked
+# forward loops (the Schur update in _blocked_chol, the substitution
+# products in _blocked_tri_inv).  "auto" = native dots everywhere; "int8"
+# forces exact int8-limb MXU matmuls (ops/intgram.matmul_exact_int8,
+# 8 limbs = 56-bit payload >= fp64's 53 — a forcible branch kept for
+# tests, with the accuracy half proven in test_chol64).  MEASURED DEAD END
+# for runtime (2026-08-19, v5e, chained scalar-readback timing of
+# chol_inv [2048, 2048] fp64): int8 in-loop 264.7 ms vs native emulated
+# 223.4 ms.  Two reasons: (a) the X64-rewritten fp64 dot is ~1 TFLOP/s
+# in-graph at these shapes (NOT the ~0.075 TFLOP/s an earlier dispatch-
+# polluted standalone measurement suggested), so a square [2048, 2048]
+# int8-limb product (18.2 ms) ties the emulated one (17.8 ms) — int8 only
+# wins on long-k gram shapes; and (b) the per-iteration quantize/recombine
+# passes are pure overhead inside the loop.  The honest cost profile of
+# the blocked fp64 chol_inv is instead dominated by the 8 sequential
+# [256] native cholesky expander calls at 16.5 ms EACH (while-loop
+# overhead proportional to M, not FLOPs) — which is what the Pallas leaf
+# kernel (ops/chol_pallas) attacks.
+FORWARD_MM = "auto"
+
+
+def _fwd_mm_algo(dtype) -> str:
+    if FORWARD_MM == "auto":
+        return "native"
+    return FORWARD_MM
+
+
+def _fwd_mm(A, B):
+    """A @ B for the blocked-loop bodies: exact int8 limbs on the TPU fp64
+    path, native dot (HIGHEST, for the forced-f32 case) otherwise."""
+    if _fwd_mm_algo(A.dtype) == "int8":
+        from .intgram import MAX_K, matmul_exact_int8
+
+        if A.shape[1] <= MAX_K:
+            return matmul_exact_int8(A, B, batched=True)
+    return jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST)
+
 
 def _use_blocked(M: int, dtype) -> bool:
     # f32 too: the preconditioner's [M, M] chol/tri-inv (models/cglb.
@@ -109,10 +146,10 @@ def _blocked_chol(P, b: int = None):
         pan = jsl.solve_triangular(Lkk, col.T, lower=True).T
         pan = jnp.where((row_ids >= kb)[:, None], pan, 0.0)
         L = lax.dynamic_update_slice(L, pan, (0, kb))
-        # HIGHEST: inert for fp64 (emulation is exact), required if this
-        # path is ever forced for f32 — DEFAULT f32 matmuls lower to bf16
-        # MXU passes on TPU, which would corrupt the trailing Schur update
-        S = S - jnp.dot(pan, pan.T, precision=jax.lax.Precision.HIGHEST)
+        # native dot at HIGHEST (DEFAULT f32 matmuls lower to bf16 MXU
+        # passes on TPU, which would corrupt the trailing Schur update);
+        # FORWARD_MM="int8" forces the measured-dead-end limb branch
+        S = S - _fwd_mm(pan, pan.T)
         return S, L
 
     _, L = lax.fori_loop(0, M // b, body, (P, jnp.zeros_like(P)))
@@ -144,10 +181,9 @@ def _blocked_tri_inv(L, b: int = None):
             L.dtype
         )
         # rows j >= k of C are still zero, and L's strict upper is zero, so
-        # Lrow @ C is exactly sum_{j<k} L[k,j] C[j,:]
-        hi = jax.lax.Precision.HIGHEST  # see _blocked_chol's Schur note
-        rows = jnp.dot(Dinv[k], irow - jnp.dot(Lrow, C, precision=hi),
-                       precision=hi)
+        # Lrow @ C is exactly sum_{j<k} L[k,j] C[j,:].  Products via _fwd_mm
+        # (native dots; see _blocked_chol's Schur note and FORWARD_MM)
+        rows = _fwd_mm(Dinv[k], irow - _fwd_mm(Lrow, C))
         return lax.dynamic_update_slice(C, rows, (kb, 0))
 
     return lax.fori_loop(0, nb, body, jnp.zeros_like(L))

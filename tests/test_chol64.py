@@ -137,6 +137,31 @@ def test_blocked_chol_ill_conditioned(rng, monkeypatch):
     assert float(jnp.max(jnp.abs(resid))) < 1e-8  # eps64 * kappa envelope
 
 
+def test_blocked_chol_int8_products_match_native(rng, monkeypatch):
+    """FORWARD_MM='int8' (forcible branch; runtime-wise a measured dead end
+    — see chol64.FORWARD_MM): the Schur updates and the substitution
+    products run as exact int8-limb matmuls; the factor and inverse must
+    stay at fp64 grade, including at kappa ~ 1e8 (the jitter-floor regime
+    the AAT budget is derived for)."""
+    monkeypatch.setattr(chol64, "ALGO", "blocked")
+    monkeypatch.setattr(chol64, "BLOCK", 64)
+    monkeypatch.setattr(chol64, "FORWARD_MM", "int8")
+    M = 256
+    for kappa, ltol, rtol in ((None, 1e-11, 1e-11), (1e8, 2e-9, 1e-8)):
+        P = _spd(rng, M, kappa=kappa)
+        L = jax.jit(chol64._chol)(P)
+        L_n = jnp.linalg.cholesky(P)
+        # logdet (the training-loss consumer) at fp64 grade
+        ld = float(jnp.sum(jnp.log(jnp.diagonal(L))))
+        ld_n = float(jnp.sum(jnp.log(jnp.diagonal(L_n))))
+        assert abs(ld - ld_n) < 1e-9 * max(1.0, abs(ld_n))
+        # backward-stable: reconstruction residual, not factor-vs-factor
+        np.testing.assert_allclose(L @ L.T, P, rtol=ltol, atol=1e-12)
+        C = jax.jit(chol64._tri_inv)(L)
+        resid = C @ L - jnp.eye(M, dtype=P.dtype)
+        assert float(jnp.max(jnp.abs(resid))) < rtol
+
+
 def test_blocked_chol_f32_matches_native(rng, monkeypatch):
     """f32 blocked path (the TPU preconditioner case): parity with the
     native op at f32 tolerances — the HIGHEST pins keep the Schur updates
