@@ -69,6 +69,14 @@ __all__ = ["chol_inv", "chol_inv_retry"]
 ALGO = "auto"
 BLOCK = 256
 
+# Coupled Newton refinement steps for the f32-seeded fp64 leaf
+# factorization (_leaf_chol_inv).  Both errors contract quadratically
+# (e_L' ~ e_L(e_L + e_C), e_C' ~ e_C^2 + e_L'), so from the f32 seed's
+# eps32*kappa_leaf three steps reach the fp64 floor for equilibrated leaf
+# condition up to ~1e5; beyond that the residual check fails and the
+# lax.cond fallback takes the fp64 expander leaf instead.
+REFINE_STEPS = 3
+
 # Matmul algorithm for the O(M^2 b) / O(M^3) products INSIDE the blocked
 # forward loops (the Schur update in _blocked_chol, the substitution
 # products in _blocked_tri_inv).  "auto" = native dots everywhere; "int8"
@@ -85,8 +93,11 @@ BLOCK = 256
 # passes are pure overhead inside the loop.  The honest cost profile of
 # the blocked fp64 chol_inv is instead dominated by the 8 sequential
 # [256] native cholesky expander calls at 16.5 ms EACH (while-loop
-# overhead proportional to M, not FLOPs) — which is what the Pallas leaf
-# kernel (ops/chol_pallas) attacks.
+# overhead proportional to M, not FLOPs) — which is what _leaf_chol_inv's
+# f32-seed + Newton-refinement design attacks (a Pallas df32 rank-1 leaf
+# kernel was probed first and is a measured dead end: ~0.43 s/leaf even
+# stripped to plain f32, per-step scalar extraction latency-bound —
+# PERF.md "Leaf factorization").
 FORWARD_MM = "auto"
 
 
@@ -124,53 +135,135 @@ def _use_blocked(M: int, dtype) -> bool:
     return ALGO == "blocked"
 
 
+def _leaf_chol_inv(Dkk):
+    """(Lkk, Lkk^-1) of one SPD diagonal block.
+
+    fp64 path: the native fp64 cholesky/trisolve leaves are the measured
+    runtime sink of the blocked factorization — 16.5 ms per [256] leaf on
+    v5e, ALL of it expander while-loop overhead (the 11 MFLOP of real work
+    is microseconds; any 256-iteration XLA loop costs ~98 us/iter on this
+    chip).  f32, by contrast, hits the TPU's native Cholesky at 0.69 ms.
+    So: equilibrate to unit diagonal (fp64, exact-by-construction scaling
+    recovery), seed L and C = L^-1 from the f32 native ops, then run
+    REFINE_STEPS coupled Newton corrections in which the only fp64 work is
+    the two cancellation-critical residuals per step:
+
+        R = I  - C L        ->  C += (R C)        [correction in f32]
+        E = Ds - L L^T      ->  L += L phi(C E C^T)   [correction in f32]
+
+    Both errors contract quadratically; the fp64-matmul residuals set the
+    floor at fp64 grade (the f32 corrections only carry eps32 RELATIVE to
+    the already-small correction, a second-order term).  A final residual
+    check gates a lax.cond fallback to the fp64 expander leaf for blocks
+    whose equilibrated condition exceeds the f32 seed's basin (~1e7) — the
+    fallback branch costs compile (one [b, b] expander pair, ~2 s) but
+    executes only when taken.  Non-PD blocks: the f32 seed NaNs, the
+    residual check fails, the expander reproduces the NaN — the
+    chol_inv_retry contract is preserved bit-for-bit in kind.
+
+    f32 path (the preconditioner's factorization): the native ops ARE the
+    fast path; no refinement."""
+    dt = Dkk.dtype
+    b = Dkk.shape[0]
+    eyeb = jnp.eye(b, dtype=dt)
+    if dt != jnp.float64:
+        L = jnp.linalg.cholesky(Dkk)
+        return L, jsl.solve_triangular(L, eyeb, lower=True)
+
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    s = jnp.sqrt(jnp.diagonal(Dkk))
+    si = 1.0 / s
+    Ds = Dkk * (si[:, None] * si[None, :])
+
+    Lf = jnp.linalg.cholesky(Ds.astype(f32))
+    Cf = jsl.solve_triangular(Lf, jnp.eye(b, dtype=f32), lower=True)
+    L, C = Lf.astype(dt), Cf.astype(dt)
+    for _ in range(REFINE_STEPS):
+        R = eyeb - jnp.dot(C, L)  # fp64: the cancellation step
+        C = C + jnp.dot(R.astype(f32), C.astype(f32),
+                        precision=hi).astype(dt)
+        E = Ds - jnp.dot(L, L.T)  # fp64
+        F = jnp.dot(jnp.dot(C.astype(f32), E.astype(f32), precision=hi),
+                    C.astype(f32).T, precision=hi)
+        L = L + jnp.dot(L.astype(f32), _phi(F), precision=hi).astype(dt)
+
+    # converged-to-floor vs diverged/stuck is a >1e4 gap: the floors are
+    # ~sqrt(b)*eps64 (E) and ~eps64*sqrt(kappa) (R, rounding of the fp64
+    # product itself), while a seed outside the basin leaves O(1) or NaN
+    e_ok = jnp.max(jnp.abs(Ds - jnp.dot(L, L.T))) < 1e-9
+    r_ok = jnp.max(jnp.abs(eyeb - jnp.dot(C, L))) < 1e-7
+
+    def _refined(_):
+        return s[:, None] * L, C * si[None, :]
+
+    def _expander(_):
+        Lx = jnp.linalg.cholesky(Dkk)
+        return Lx, jsl.solve_triangular(Lx, eyeb, lower=True)
+
+    return lax.cond(e_ok & r_ok, _refined, _expander, None)
+
+
 def _blocked_chol(P, b: int = None):
-    """Right-looking blocked Cholesky as a lax.fori_loop: ONE [b, b]
-    cholesky + ONE [b, b]x[b, M] trisolve expander instance total, with the
-    O(M^2 b) trailing updates as fp64 matmuls.  A non-PD diagonal block
-    NaNs its panel and every later step, so the retry's finite check works
-    exactly as with the native op."""
+    """Right-looking blocked Cholesky as a lax.fori_loop with f32-seeded
+    Newton-refined leaves (_leaf_chol_inv): the O(M^2 b) trailing updates
+    AND the panel solves are fp64 matmuls (the panel multiplies by the
+    leaf inverse the refinement produces anyway), so the only expander
+    instances left are the [b, b] fallback pair inside the leaf's
+    lax.cond.  Returns (L, Dinv) with Dinv the [nb, b, b] stack of leaf
+    inverses — _blocked_tri_inv consumes them, which kills its batched
+    trisolve.  A non-PD diagonal block NaNs its panel and every later
+    step, so the retry's finite check works exactly as with the native
+    op."""
     b = b or BLOCK
     M = P.shape[0]
+    nb = M // b
     row_ids = jnp.arange(M)
 
     def body(k, carry):
-        S, L = carry
+        S, L, Dinv = carry
         kb = k * b
         Dkk = lax.dynamic_slice(S, (kb, kb), (b, b))
-        Lkk = jnp.linalg.cholesky(Dkk)
+        Lkk, Ckk = _leaf_chol_inv(Dkk)
         col = lax.dynamic_slice(S, (0, kb), (M, b))
-        # panel = S[:, kb:kb+b] Lkk^-T; its rows [kb, kb+b) equal Lkk
-        # identically (Dkk Lkk^-T = Lkk); rows above kb are stale Schur
-        # garbage -> masked to the zeros the lower factor needs there
-        pan = jsl.solve_triangular(Lkk, col.T, lower=True).T
+        # panel = S[:, kb:kb+b] Lkk^-T = col @ Ckk^T; rows above kb are
+        # stale Schur garbage -> masked to the zeros the lower factor
+        # needs there; rows [kb, kb+b) are overwritten with Lkk itself so
+        # the stored diagonal block is EXACTLY the matrix Ckk inverts
+        # (native dots at HIGHEST — DEFAULT f32 matmuls lower to bf16 MXU
+        # passes on TPU; FORWARD_MM="int8" forces the dead-end limb branch)
+        pan = _fwd_mm(col, Ckk.T)
         pan = jnp.where((row_ids >= kb)[:, None], pan, 0.0)
+        pan = lax.dynamic_update_slice(pan, Lkk, (kb, 0))
         L = lax.dynamic_update_slice(L, pan, (0, kb))
-        # native dot at HIGHEST (DEFAULT f32 matmuls lower to bf16 MXU
-        # passes on TPU, which would corrupt the trailing Schur update);
-        # FORWARD_MM="int8" forces the measured-dead-end limb branch
         S = S - _fwd_mm(pan, pan.T)
-        return S, L
+        Dinv = lax.dynamic_update_slice(Dinv, Ckk[None], (k, 0, 0))
+        return S, L, Dinv
 
-    _, L = lax.fori_loop(0, M // b, body, (P, jnp.zeros_like(P)))
-    return L
+    _, L, Dinv = lax.fori_loop(
+        0, nb, body,
+        (P, jnp.zeros_like(P), jnp.zeros((nb, b, b), P.dtype)),
+    )
+    return L, Dinv
 
 
-def _blocked_tri_inv(L, b: int = None):
-    """C = L^-1 by block forward substitution: one BATCHED [nb, b, b]
-    trisolve for the diagonal blocks, then a fori_loop whose body is two
-    matmuls — total fp64-matmul FLOPs equal to one [M, M, M] product."""
+def _blocked_tri_inv(L, Dinv=None, b: int = None):
+    """C = L^-1 by block forward substitution: the diagonal-block inverses
+    come from _blocked_chol's leaves when available (Dinv), else from one
+    BATCHED [nb, b, b] trisolve; the fori_loop body is two matmuls —
+    total fp64-matmul FLOPs equal to one [M, M, M] product."""
     b = b or BLOCK
     M = L.shape[0]
     nb = M // b
-    diag = jax.vmap(
-        lambda k: lax.dynamic_slice(L, (k * b, k * b), (b, b))
-    )(jnp.arange(nb))
-    Dinv = jsl.solve_triangular(
-        diag,
-        jnp.broadcast_to(jnp.eye(b, dtype=L.dtype), (nb, b, b)),
-        lower=True,
-    )  # [nb, b, b]
+    if Dinv is None:
+        diag = jax.vmap(
+            lambda k: lax.dynamic_slice(L, (k * b, k * b), (b, b))
+        )(jnp.arange(nb))
+        Dinv = jsl.solve_triangular(
+            diag,
+            jnp.broadcast_to(jnp.eye(b, dtype=L.dtype), (nb, b, b)),
+            lower=True,
+        )  # [nb, b, b]
     cols = jnp.arange(M)
 
     def body(k, C):
@@ -191,7 +284,7 @@ def _blocked_tri_inv(L, b: int = None):
 
 def _chol(P):
     if _use_blocked(P.shape[0], P.dtype):
-        return _blocked_chol(P)
+        return _blocked_chol(P)[0]
     return jnp.linalg.cholesky(P)
 
 
@@ -283,6 +376,9 @@ def chol_inv(P):
 
     The inverse is computed by ONE triangular-solve pass; callers that only
     consume L (no grad) get it DCE'd by XLA."""
+    if _use_blocked(P.shape[0], P.dtype):
+        L, Dinv = _blocked_chol(P)
+        return L, _blocked_tri_inv(L, Dinv)
     L = _chol(P)
     C = _tri_inv(L)
     return L, C
@@ -320,22 +416,31 @@ def chol_inv_retry(P, jitter: float):
 def _chol_inv_retry(P, jitter):
     M = P.shape[0]
     eye = jnp.eye(M, dtype=P.dtype)
+    blocked = _use_blocked(M, P.dtype)
+
+    def _factor(Q):
+        if blocked:
+            return _blocked_chol(Q)
+        return jnp.linalg.cholesky(Q), jnp.zeros((0,), Q.dtype)
 
     def body(carry):
-        jmul, _ = carry
-        L = _chol(P + (jmul * jitter) * eye)
+        jmul, _, _ = carry
+        L, Dinv = _factor(P + (jmul * jitter) * eye)
         ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
         # negative jmul marks success; cond() then exits
-        return jnp.where(ok, -jmul, jmul * 1000.0), L
+        return jnp.where(ok, -jmul, jmul * 1000.0), L, Dinv
 
     def cond(carry):
-        jmul, _ = carry
+        jmul = carry[0]
         return (jmul > 0) & (jmul <= 1000.0)
 
-    _, L = lax.while_loop(
-        cond, body, (jnp.asarray(1.0, P.dtype), jnp.zeros_like(P))
+    nb = M // BLOCK
+    Dinv0 = (jnp.zeros((nb, BLOCK, BLOCK), P.dtype) if blocked
+             else jnp.zeros((0,), P.dtype))
+    _, L, Dinv = lax.while_loop(
+        cond, body, (jnp.asarray(1.0, P.dtype), jnp.zeros_like(P), Dinv0)
     )
-    C = _tri_inv(L)
+    C = _blocked_tri_inv(L, Dinv) if blocked else _tri_inv(L)
     return L, C
 
 

@@ -39,8 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DF", "df_from_f64", "df_to_f64", "df_sqrt", "df_exp",
-           "matern32_unit", "rbf_unit"]
+__all__ = ["DF", "df_from_f64", "df_to_f64", "df_sqrt", "df_recip",
+           "df_exp", "matern32_unit", "rbf_unit"]
 
 # module-level constants stay numpy scalars: jnp constants created at import
 # time would become tracers when the import is triggered inside a traced
@@ -172,6 +172,23 @@ def df_sqrt(x: DF) -> DF:
     out = _quick_two_sum(safe, corr)
     zero = jnp.zeros_like(r0)
     return DF(jnp.where(r0 > 0, out.hi, zero), jnp.where(r0 > 0, out.lo, zero))
+
+
+def df_recip(y: DF) -> DF:
+    """1 / y at df32 grade: two Newton corrections on the f32 seed.
+
+    r1 = r0 + r0 * e with e = 1 - y * r0 squares the seed's 2^-24 relative
+    error to ~2^-48; the second (df-arithmetic) correction mops up the
+    truncation of the first so the result holds the full pair precision.
+    y == 0 or negative-zero diagonals are the caller's concern: the seed
+    division produces inf/NaN and every downstream op propagates it (the
+    Cholesky leaf kernel, ops/chol_pallas, relies on exactly that for the
+    non-PD -> jitter-retry signal)."""
+    r0 = _F32(1.0) / y.hi
+    e = df_add_f(df_neg(df_mul_f(y, r0)), _F32(1.0))
+    r = df_add_f(df_mul_f(e, r0), r0)
+    e2 = df_add_f(df_neg(df_mul(y, r)), _F32(1.0))
+    return df_add(r, df_mul(e2, r))
 
 
 # ln2 and 1/ln2 as df32 constants (from fp64)

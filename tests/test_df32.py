@@ -51,6 +51,22 @@ def test_df_sqrt_accuracy(rng):
     np.testing.assert_array_equal(np.asarray(z.hi), 0.0)
 
 
+def test_df_recip_accuracy(rng):
+    x = jnp.asarray(np.concatenate([
+        rng.uniform(1e-10, 4000.0, 25000),
+        -rng.uniform(1e-10, 4000.0, 25000),
+    ]))
+    got = np.asarray(D.df_to_f64(D.df_recip(D.df_from_f64(x))))
+    want = 1.0 / np.asarray(x)
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-13, rel.max()
+    # zero input: the f32 seed division produces inf and the Newton
+    # corrections must propagate it (the documented non-PD signal), not
+    # turn it into NaN-free garbage
+    z = D.df_recip(D.df_from_f64(jnp.zeros((3,))))
+    assert not bool(jnp.any(jnp.isfinite(z.hi)))
+
+
 def test_matern32_unit_value_and_grad(rng):
     d2 = _d2_samples(rng)
     r = np.sqrt(np.asarray(d2))
