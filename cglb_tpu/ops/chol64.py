@@ -170,8 +170,26 @@ def _leaf_chol_inv(Dkk):
         L = jnp.linalg.cholesky(Dkk)
         return L, jsl.solve_triangular(L, eyeb, lower=True)
 
+    L, C, ok = _leaf_refined(Dkk)
+
+    def _refined(_):
+        return L, C
+
+    def _expander(_):
+        Lx = jnp.linalg.cholesky(Dkk)
+        return Lx, jsl.solve_triangular(Lx, eyeb, lower=True)
+
+    return lax.cond(ok, _refined, _expander, None)
+
+
+def _leaf_refined(Dkk):
+    """The refinement half of _leaf_chol_inv: (L, C, ok) in the ORIGINAL
+    scaling, ok = the residual gate that decides refined-vs-expander."""
+    dt = Dkk.dtype
+    b = Dkk.shape[0]
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
+    eyeb = jnp.eye(b, dtype=dt)
     s = jnp.sqrt(jnp.diagonal(Dkk))
     si = 1.0 / s
     Ds = Dkk * (si[:, None] * si[None, :])
@@ -193,15 +211,7 @@ def _leaf_chol_inv(Dkk):
     # product itself), while a seed outside the basin leaves O(1) or NaN
     e_ok = jnp.max(jnp.abs(Ds - jnp.dot(L, L.T))) < 1e-9
     r_ok = jnp.max(jnp.abs(eyeb - jnp.dot(C, L))) < 1e-7
-
-    def _refined(_):
-        return s[:, None] * L, C * si[None, :]
-
-    def _expander(_):
-        Lx = jnp.linalg.cholesky(Dkk)
-        return Lx, jsl.solve_triangular(Lx, eyeb, lower=True)
-
-    return lax.cond(e_ok & r_ok, _refined, _expander, None)
+    return s[:, None] * L, C * si[None, :], e_ok & r_ok
 
 
 def _blocked_chol(P, b: int = None):

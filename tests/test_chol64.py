@@ -105,6 +105,56 @@ def _spd(rng, M, kappa=None):
     return jnp.asarray(P)
 
 
+@pytest.mark.parametrize("kappa,cl_tol", [(1e2, 1e-12), (1e4, 1e-11),
+                                          (1e6, 1e-8), (1e8, 1e-7)])
+def test_leaf_chol_inv_kappa_sweep(rng, kappa, cl_tol):
+    """The f32-seeded Newton-refined leaf stays at fp64 grade across the
+    whole kappa range (with random row scaling so equilibration is
+    exercised); above the f32 seed's basin (~1e6 equilibrated) the
+    residual gate hands the block to the fp64 expander, so the output is
+    fp64-grade EITHER way — that's the contract."""
+    b = 96
+    P = np.asarray(_spd(rng, b, kappa=kappa))
+    d = np.exp(rng.normal(size=b))
+    P = P * d[:, None] * d[None, :]
+    L, C = jax.jit(chol64._leaf_chol_inv)(jnp.asarray(P))
+    L, C = np.asarray(L), np.asarray(C)
+    rec = np.max(np.abs(L @ L.T - P)) / np.max(np.abs(P))
+    assert rec < 1e-13, rec
+    assert np.max(np.abs(C @ L - np.eye(b))) < cl_tol
+
+
+def test_leaf_refined_gate(rng, monkeypatch):
+    """The residual gate: True (refined branch) inside the f32 basin,
+    False outside it — and with refinement disabled the raw f32 seed must
+    fail the gate, which is what forces the expander fallback."""
+    b = 96
+    P_easy = _spd(rng, b, kappa=1e3)
+    P_hard = _spd(rng, b, kappa=1e9)
+    _, _, ok = jax.jit(chol64._leaf_refined)(P_easy)
+    assert bool(ok)
+    _, _, ok = jax.jit(chol64._leaf_refined)(P_hard)
+    assert not bool(ok)
+    monkeypatch.setattr(chol64, "REFINE_STEPS", 0)
+    # eager calls: jax.jit's trace cache is keyed on the underlying
+    # function object and would replay the REFINE_STEPS=3 trace
+    _, _, ok = chol64._leaf_refined(P_easy)
+    assert not bool(ok)  # unrefined f32 seed is ~6e-8, above the 1e-9 gate
+    # ... and _leaf_chol_inv still returns fp64-grade factors via the
+    # expander branch
+    L, C = chol64._leaf_chol_inv(P_easy)
+    rec = np.max(np.abs(np.asarray(L) @ np.asarray(L).T - np.asarray(P_easy)))
+    assert rec < 1e-13 * np.max(np.abs(np.asarray(P_easy)))
+
+
+def test_leaf_chol_inv_nonpd_nans(rng):
+    """Non-PD leaf -> non-finite factors (the chol_inv_retry signal)."""
+    P = np.array(_spd(rng, 96))
+    P[3, 3] = -0.5
+    L, _ = jax.jit(chol64._leaf_chol_inv)(jnp.asarray(P))
+    assert not bool(jnp.all(jnp.isfinite(L)))
+
+
 def test_blocked_chol_matches_native(rng, monkeypatch):
     monkeypatch.setattr(chol64, "ALGO", "blocked")
     monkeypatch.setattr(chol64, "BLOCK", 64)
