@@ -212,13 +212,57 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    if on_accel:
+        # full loss+grad feval at the same shape, measured in a BOUNDED
+        # subprocess (scripts/bench_feval.py --json) so a compile stall or
+        # tunnel hiccup can only lose the detail field, never the capture.
+        # Normally a compile-cache hit (~1 min); worst case 420 s then skip.
+        stage("warm feval (subprocess, <=420 s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_feval.py"), "--json"],
+                capture_output=True, timeout=420, text=True,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    result["detail"].update(json.loads(line))
+                    break
+            else:
+                result["detail"]["feval_skipped"] = f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            result["detail"]["feval_skipped"] = "timeout"
     if tpu_unavailable:
         result["tpu_unavailable"] = True
     print(json.dumps(result))
 
 
+class _BenchStall(RuntimeError):
+    pass
+
+
+def _arm_watchdog(seconds=1500):
+    """The tunnel can STALL a host readback mid-lowering (observed
+    2026-08-19: _array_mlir_constant_handler hung >20 min while the same
+    graph ran clean twice earlier that day).  A hang is not an exception,
+    so the try/except below can't save the capture — SIGALRM turns it
+    into one.  Unix-only; bench runs on the driver's Linux host."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _BenchStall(f"no completion within {seconds}s (tunnel stall?)")
+
+    try:
+        signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(seconds)
+    except (ValueError, AttributeError):  # non-main thread / non-Unix
+        pass
+
+
 if __name__ == "__main__":
     try:
+        _arm_watchdog()
         main()
     except Exception as exc:  # noqa: BLE001 — graded capture must stay parsable
         print(json.dumps({

@@ -121,7 +121,11 @@ class _Action:
         # summarized alongside it.
         train_stats = {}
         for key in ("cg/steps", "cg/error"):
-            series = logger.logs.get(f"{key}-per-feval") or []
+            # scipy paths log every feval; the on-device adam path has no
+            # per-feval host readback (dispatch-bound), so fall back to the
+            # holdout-sampled series (every `--holdout-interval` steps)
+            series = (logger.logs.get(f"{key}-per-feval")
+                      or logger.logs.get(key) or [])
             finite = np.asarray(
                 [v for v in series if np.isfinite(v)], dtype=float)
             if finite.size:

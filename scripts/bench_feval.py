@@ -81,4 +81,10 @@ for i in range(5):
     times.append(time.time() - t0)
 log(f"warm feval: {min(times):.3f} s min / {np.mean(times):.3f} s mean "
     f"(cg_steps={int(aux.cg_steps)})  loss={lf:.2f}")
+if "--json" in sys.argv:
+    # machine-readable line for bench.py's detail capture
+    import json
+
+    print(json.dumps({"warm_feval_s": round(min(times), 3),
+                      "cold_compile_s": round(t_cold, 1)}), flush=True)
 print("DONE", flush=True)
