@@ -28,6 +28,8 @@ def log(m):
 from cglb_tpu.ops import kernels as k
 
 N, D, M = 40960, 8, 2048
+if "--M" in sys.argv:  # protocol sweep point override (e.g. --M 4096)
+    M = int(sys.argv[sys.argv.index("--M") + 1])
 rng = np.random.default_rng(0)
 kern = k.make_kernel("Matern32", D, variance=1.0, lengthscales=1.0,
                      dtype=np.float64)
