@@ -135,6 +135,21 @@ def _use_blocked(M: int, dtype) -> bool:
     return ALGO == "blocked"
 
 
+def _use_leaf(M: int, dtype) -> bool:
+    # small-M fp64 factorizations (protocol sweep points M in {128, 256})
+    # fit in ONE refinement leaf — route them straight through
+    # _leaf_chol_inv instead of paying the fp64 expander's ~16.5 ms
+    # while-loop overhead per [256] instance.  ALGO="leaf" forces the
+    # branch off-TPU for tests.
+    if ALGO == "auto":
+        return (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float64
+            and 16 <= M <= BLOCK
+        )
+    return ALGO == "leaf"
+
+
 def _leaf_chol_inv(Dkk):
     """(Lkk, Lkk^-1) of one SPD diagonal block.
 
@@ -389,6 +404,8 @@ def chol_inv(P):
     if _use_blocked(P.shape[0], P.dtype):
         L, Dinv = _blocked_chol(P)
         return L, _blocked_tri_inv(L, Dinv)
+    if _use_leaf(P.shape[0], P.dtype):
+        return _leaf_chol_inv(P)
     L = _chol(P)
     C = _tri_inv(L)
     return L, C
@@ -427,31 +444,41 @@ def _chol_inv_retry(P, jitter):
     M = P.shape[0]
     eye = jnp.eye(M, dtype=P.dtype)
     blocked = _use_blocked(M, P.dtype)
+    leaf = not blocked and _use_leaf(M, P.dtype)
 
     def _factor(Q):
+        # returns (L, extra): extra = leaf-inverse stack (blocked), the
+        # full inverse (leaf), or a dummy (native) — shape-stable so the
+        # while_loop carry stays a single compiled structure per mode
         if blocked:
             return _blocked_chol(Q)
+        if leaf:
+            return _leaf_chol_inv(Q)
         return jnp.linalg.cholesky(Q), jnp.zeros((0,), Q.dtype)
 
     def body(carry):
         jmul, _, _ = carry
-        L, Dinv = _factor(P + (jmul * jitter) * eye)
+        L, extra = _factor(P + (jmul * jitter) * eye)
         ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
         # negative jmul marks success; cond() then exits
-        return jnp.where(ok, -jmul, jmul * 1000.0), L, Dinv
+        return jnp.where(ok, -jmul, jmul * 1000.0), L, extra
 
     def cond(carry):
         jmul = carry[0]
         return (jmul > 0) & (jmul <= 1000.0)
 
     nb = M // BLOCK
-    Dinv0 = (jnp.zeros((nb, BLOCK, BLOCK), P.dtype) if blocked
-             else jnp.zeros((0,), P.dtype))
-    _, L, Dinv = lax.while_loop(
-        cond, body, (jnp.asarray(1.0, P.dtype), jnp.zeros_like(P), Dinv0)
+    extra0 = (jnp.zeros((nb, BLOCK, BLOCK), P.dtype) if blocked
+              else jnp.zeros_like(P) if leaf
+              else jnp.zeros((0,), P.dtype))
+    _, L, extra = lax.while_loop(
+        cond, body, (jnp.asarray(1.0, P.dtype), jnp.zeros_like(P), extra0)
     )
-    C = _blocked_tri_inv(L, Dinv) if blocked else _tri_inv(L)
-    return L, C
+    if blocked:
+        return L, _blocked_tri_inv(L, extra)
+    if leaf:
+        return L, extra
+    return L, _tri_inv(L)
 
 
 def _chol_inv_retry_fwd(P, jitter):

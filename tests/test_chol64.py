@@ -147,6 +147,42 @@ def test_leaf_refined_gate(rng, monkeypatch):
     assert rec < 1e-13 * np.max(np.abs(np.asarray(P_easy)))
 
 
+def test_leaf_mode_chol_inv_and_retry(rng, monkeypatch):
+    """ALGO='leaf' (the small-M TPU route, M <= BLOCK): chol_inv and
+    chol_inv_retry match the native composition at fp64 grade, including
+    gradients through the custom_vjp and the jitter-escalation path."""
+    monkeypatch.setattr(chol64, "ALGO", "leaf")
+    M = 96
+    P = _spd(rng, M)
+    L, C = jax.jit(chol_inv)(P)
+    L_n, C_n = _native(P)
+    np.testing.assert_allclose(L, L_n, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(C, C_n, rtol=1e-11, atol=1e-12)
+
+    # gradients through both outputs == native autodiff
+    W = jnp.asarray(rng.normal(size=(12, 24)))
+
+    def f(make):
+        def g(W):
+            Q = W @ W.T + jnp.eye(12)
+            L, C = make(Q)
+            return (jnp.sum(jnp.log(jnp.diagonal(L)))
+                    + jnp.sum(jnp.sin(C) * jnp.cos(C.T)))
+        return g
+
+    v1, g1 = jax.value_and_grad(f(_native))(W)
+    v2, g2 = jax.value_and_grad(f(chol_inv))(W)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-13)
+    np.testing.assert_allclose(g1, g2, rtol=1e-10, atol=1e-11)
+
+    # retry escalation: eigenvalue -1e-5 fails at base jitter 1e-6, the
+    # 1000x retry succeeds — through the leaf-mode while_loop carry
+    Pq = jnp.diag(jnp.asarray([1.0, -1e-5, 2.0] + [1.0] * 29))
+    L, C = jax.jit(lambda p: chol_inv_retry(p, 1e-6))(Pq)
+    assert bool(jnp.all(jnp.isfinite(L))) and bool(jnp.all(jnp.isfinite(C)))
+    np.testing.assert_allclose(float(L[1, 1]) ** 2, -1e-5 + 1e-3, rtol=1e-9)
+
+
 def test_leaf_chol_inv_nonpd_nans(rng):
     """Non-PD leaf -> non-finite factors (the chol_inv_retry signal)."""
     P = np.array(_spd(rng, 96))
