@@ -136,16 +136,18 @@ def _use_blocked(M: int, dtype) -> bool:
 
 
 def _use_leaf(M: int, dtype) -> bool:
-    # small-M fp64 factorizations (protocol sweep points M in {128, 256})
+    # small-M fp64 factorizations (protocol sweep points M in {128, 256},
+    # and any M below the blocked path's 2*BLOCK/divisibility threshold)
     # fit in ONE refinement leaf — route them straight through
     # _leaf_chol_inv instead of paying the fp64 expander's ~16.5 ms
-    # while-loop overhead per [256] instance.  ALGO="leaf" forces the
-    # branch off-TPU for tests.
+    # while-loop overhead per [256] of M (measured: chol_inv[256] 3.22 ms
+    # leaf vs 21.05 ms expander pair).  ALGO="leaf" forces the branch
+    # off-TPU for tests.
     if ALGO == "auto":
         return (
             jax.default_backend() == "tpu"
             and dtype == jnp.float64
-            and 16 <= M <= BLOCK
+            and 16 <= M < 2 * BLOCK
         )
     return ALGO == "leaf"
 
