@@ -101,6 +101,29 @@ REFINE_STEPS = 3
 FORWARD_MM = "auto"
 
 
+def _block_for(M: int) -> int:
+    """Panel width for the blocked factorization at this M.
+
+    Measured per-instance chol_inv FORWARD on v5e (scripts/bench_chol4096.py,
+    fp64, kappa ~1e5, chained-in-jit timing):
+
+        M=2048:  b=256 58.7 ms   b=512 44.4 ms   b=1024 51.6 ms
+        M=4096:  b=256 458 ms    b=512 293 ms    b=1024 260 ms
+
+    Wider panels amortize the emulated-fp64 products' short-k inefficiency
+    and the per-leaf/per-iteration loop overhead; too wide and the trailing
+    updates lose width.  b = M/4 clamped to [BLOCK, 1024] tracks the
+    measured optimum at both protocol shapes (the backward is block-size
+    independent — it only sees L and C).  Indivisible M falls back to the
+    base BLOCK, whose divisibility _use_blocked already checked.  (A global
+    f32-seeded Newton refinement with int8-limb exact residuals was probed
+    as the alternative at M=4096: 365 ms — correct to the fp64 floor but
+    beaten by the wide-panel loop, since an int8 [4096, 4096] square
+    product (55.6 ms) only ties the emulated-fp64 one (63.4 ms).)"""
+    b = min(1024, max(BLOCK, M // 4))
+    return b if M % b == 0 else BLOCK
+
+
 def _fwd_mm_algo(dtype) -> str:
     if FORWARD_MM == "auto":
         return "native"
@@ -311,13 +334,13 @@ def _blocked_tri_inv(L, Dinv=None, b: int = None):
 
 def _chol(P):
     if _use_blocked(P.shape[0], P.dtype):
-        return _blocked_chol(P)[0]
+        return _blocked_chol(P, _block_for(P.shape[0]))[0]
     return jnp.linalg.cholesky(P)
 
 
 def _tri_inv(L):
     if _use_blocked(L.shape[0], L.dtype):
-        return _blocked_tri_inv(L)
+        return _blocked_tri_inv(L, b=_block_for(L.shape[0]))
     return jsl.solve_triangular(
         L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True
     )
@@ -404,8 +427,9 @@ def chol_inv(P):
     The inverse is computed by ONE triangular-solve pass; callers that only
     consume L (no grad) get it DCE'd by XLA."""
     if _use_blocked(P.shape[0], P.dtype):
-        L, Dinv = _blocked_chol(P)
-        return L, _blocked_tri_inv(L, Dinv)
+        b = _block_for(P.shape[0])
+        L, Dinv = _blocked_chol(P, b)
+        return L, _blocked_tri_inv(L, Dinv, b)
     if _use_leaf(P.shape[0], P.dtype):
         return _leaf_chol_inv(P)
     L = _chol(P)
@@ -447,13 +471,14 @@ def _chol_inv_retry(P, jitter):
     eye = jnp.eye(M, dtype=P.dtype)
     blocked = _use_blocked(M, P.dtype)
     leaf = not blocked and _use_leaf(M, P.dtype)
+    b = _block_for(M) if blocked else BLOCK
 
     def _factor(Q):
         # returns (L, extra): extra = leaf-inverse stack (blocked), the
         # full inverse (leaf), or a dummy (native) — shape-stable so the
         # while_loop carry stays a single compiled structure per mode
         if blocked:
-            return _blocked_chol(Q)
+            return _blocked_chol(Q, b)
         if leaf:
             return _leaf_chol_inv(Q)
         return jnp.linalg.cholesky(Q), jnp.zeros((0,), Q.dtype)
@@ -469,15 +494,15 @@ def _chol_inv_retry(P, jitter):
         jmul = carry[0]
         return (jmul > 0) & (jmul <= 1000.0)
 
-    nb = M // BLOCK
-    extra0 = (jnp.zeros((nb, BLOCK, BLOCK), P.dtype) if blocked
+    nb = M // b
+    extra0 = (jnp.zeros((nb, b, b), P.dtype) if blocked
               else jnp.zeros_like(P) if leaf
               else jnp.zeros((0,), P.dtype))
     _, L, extra = lax.while_loop(
         cond, body, (jnp.asarray(1.0, P.dtype), jnp.zeros_like(P), extra0)
     )
     if blocked:
-        return L, _blocked_tri_inv(L, extra)
+        return L, _blocked_tri_inv(L, extra, b)
     if leaf:
         return L, extra
     return L, _tri_inv(L)

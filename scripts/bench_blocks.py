@@ -40,7 +40,13 @@ def log(m):
     print(f"# {time.strftime('%H:%M:%S')} {m}", flush=True)
 
 
-N, D, M = 40960, 8, 2048
+import os
+
+# shape overrides for off-north-star points (e.g. BB_M=4096 for the
+# protocol's largest sweep point)
+N = int(os.environ.get("BB_N", 40960))
+D = int(os.environ.get("BB_D", 8))
+M = int(os.environ.get("BB_M", 2048))
 rng = np.random.default_rng(0)
 kern = k.make_kernel("Matern32", D, variance=1.0, lengthscales=1.0,
                      dtype=np.float64)

@@ -205,6 +205,44 @@ def test_blocked_chol_matches_native(rng, monkeypatch):
         np.testing.assert_allclose(C_b, C_n, rtol=1e-11, atol=1e-12)
 
 
+def test_block_for_ladder():
+    """The M-dependent panel width (measured optimum on v5e: M/4 clamped
+    to [BLOCK, 1024], scripts/bench_chol4096.py): protocol shapes get the
+    wide panels, indivisible M falls back to the base."""
+    assert chol64._block_for(512) == 256
+    assert chol64._block_for(1024) == 256
+    assert chol64._block_for(2048) == 512
+    assert chol64._block_for(4096) == 1024
+    assert chol64._block_for(8192) == 1024
+    assert chol64._block_for(2560) == 640  # M/4, divisible
+    assert chol64._block_for(2304) == 576  # M/4, divisible
+
+
+def test_blocked_chol_wide_panels_match_native(rng, monkeypatch):
+    """chol_inv / chol_inv_retry at an M where _block_for picks a panel
+    WIDER than the base BLOCK (M=512, BLOCK=64 -> b=128): values must
+    match the native factorization like the base-width path does."""
+    monkeypatch.setattr(chol64, "ALGO", "blocked")
+    monkeypatch.setattr(chol64, "BLOCK", 64)
+    M = 512
+    assert chol64._block_for(M) == 128
+    P = _spd(rng, M)
+    L_n = jnp.linalg.cholesky(P)
+    C_n = jsl.solve_triangular(L_n, jnp.eye(M, dtype=P.dtype), lower=True)
+    L_b, C_b = jax.jit(chol64.chol_inv)(P)
+    np.testing.assert_allclose(L_b, L_n, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(C_b, C_n, rtol=1e-11, atol=1e-11)
+    L_r, C_r = jax.jit(lambda p: chol64.chol_inv_retry(p, 1e-6))(P)
+    np.testing.assert_allclose(L_r, jnp.linalg.cholesky(
+        P + 1e-6 * jnp.eye(M, dtype=P.dtype)), rtol=1e-12, atol=1e-13)
+    # grads flow through the wide-panel path's custom_vjp unchanged
+    g = jax.grad(lambda p: jnp.sum(jnp.log(jnp.diagonal(
+        chol64.chol_inv(p)[0]))))(P)
+    g_n = jax.grad(lambda p: jnp.sum(jnp.log(jnp.diagonal(
+        jnp.linalg.cholesky(p)))))(P)
+    np.testing.assert_allclose(g, g_n, rtol=1e-9, atol=1e-10)
+
+
 def test_blocked_chol_ill_conditioned(rng, monkeypatch):
     """kappa ~ 1e8: blocked factorization stays as backward-stable as the
     native op (logdet + reconstruction + inverse residual)."""
