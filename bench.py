@@ -24,18 +24,23 @@ import time
 import numpy as np
 
 
-def _probe_platform(timeout=120):
-    """Discover the JAX platform in a bounded subprocess.
+def _probe_platform(timeout=150):
+    """Discover a WORKING JAX platform in a bounded subprocess.
 
-    The axon TPU tunnel can hang or raise UNAVAILABLE at backend init
-    (BENCH_r03.json was lost to exactly this); probing in a child process
-    with a hard timeout means the parent never crashes or hangs.  Returns
-    the platform string ("tpu"/"axon"/"cpu") or None if the probe failed.
+    The axon TPU tunnel has two observed failure modes: backend init raises
+    UNAVAILABLE / hangs (BENCH_r03.json was lost to this), and — observed
+    live 2026-08-20 — `jax.devices()` succeeds but every device->host
+    readback hangs forever, which would stall any naive probe AND the
+    benchmark itself.  So the probe demands an actual computation +
+    readback, not just enumeration; a hard child timeout means the parent
+    never hangs.  Returns the platform string ("tpu"/"axon"/"cpu") or None.
     """
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print('PLATFORM=' + jax.devices()[0].platform)"],
+             "import jax, jax.numpy as jnp\n"
+             "assert float(jnp.sum(jnp.ones(1024))) == 1024.0\n"
+             "print('PLATFORM=' + jax.devices()[0].platform)"],
             capture_output=True, timeout=timeout, text=True,
         )
         for line in r.stdout.splitlines():
@@ -68,10 +73,8 @@ def main():
         print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
               flush=True)
 
-    # Bounded platform discovery BEFORE importing jax in this process: if the
-    # TPU tunnel is down/hanging, fall back to a forced-CPU run tagged
-    # tpu_unavailable rather than crashing the graded capture.
-    # CGLB_BENCH_PLATFORM=cpu skips the probe (testing/ops override).
+    # Platform was decided by the orchestrator (or a testing override);
+    # the worker never probes — it trusts CGLB_BENCH_PLATFORM.
     platform = os.environ.get("CGLB_BENCH_PLATFORM") or _probe_platform()
     tpu_unavailable = platform not in ("tpu", "axon")
     if tpu_unavailable:
@@ -110,8 +113,13 @@ def main():
     # the accurate tier, reported in detail). ---
     chain = 10
 
+    # X/p cross the jit boundary as ARGUMENTS: a closed-over device array is
+    # embedded as an HLO constant at lowering, and that device->host constant
+    # readback is exactly the tunnel-stall site observed live (watchdog
+    # traceback in _array_mlir_constant_handler, 2026-08-20) — the same
+    # hazard PERF.md documents for the framework's own jit boundaries.
     def make_chained(which):
-        def chained(p):
+        def chained(p, X):
             pair = mv.make_streaming_operator_pair(kern, X, jnp.asarray(0.0),
                                                    blk, blk)
             op = pair[which]
@@ -122,11 +130,11 @@ def main():
         return chained
 
     f_stream = jax.jit(make_chained(1))  # CG tier (production hot op)
-    t_stream = _bench(f_stream, p, iters=5) / chain
+    t_stream = _bench(f_stream, p, X, iters=5) / chain
     tflops = 2.0 * n * n / t_stream / 1e12
     stage(f"streaming matvec (cg tier) {t_stream*1e3:.2f} ms")
     f_acc = jax.jit(make_chained(0))     # accurate tier (assembly/predict)
-    t_acc = _bench(f_acc, p, iters=5) / chain
+    t_acc = _bench(f_acc, p, X, iters=5) / chain
     stage(f"streaming matvec (accurate tier) {t_acc*1e3:.2f} ms")
 
     # --- dense fp64 XLA baseline rate: K materialized once, matvec per iter
@@ -136,7 +144,7 @@ def main():
     Xb = X[:nb]
     pb = p[:, :nb]
 
-    def dense_chained(p):
+    def dense_chained(p, Xb):
         Kmat = k.K(kern, Xb)
 
         def body(i, q):
@@ -144,7 +152,7 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, chain, body, p))
 
     f_dense = jax.jit(dense_chained)
-    t_dense = _bench(f_dense, pb, iters=3) / chain
+    t_dense = _bench(f_dense, pb, Xb, iters=3) / chain
     dense_rate = 2.0 * nb * nb / t_dense
     stage(f"dense baseline {t_dense*1e3:.2f} ms at nb={nb}")
     vs_baseline = (2.0 * n * n / t_stream) / dense_rate
@@ -247,7 +255,10 @@ def _arm_watchdog(seconds=1500):
     2026-08-19: _array_mlir_constant_handler hung >20 min while the same
     graph ran clean twice earlier that day).  A hang is not an exception,
     so the try/except below can't save the capture — SIGALRM turns it
-    into one.  Unix-only; bench runs on the driver's Linux host."""
+    into one.  Best-effort only: a hang inside a blocking C call (gRPC
+    readback) may never return to the interpreter for the handler to run,
+    which is why the REAL protection is the orchestrator's subprocess
+    timeout (SIGKILL works regardless).  Unix-only."""
     import signal
 
     def _raise(signum, frame):
@@ -260,15 +271,73 @@ def _arm_watchdog(seconds=1500):
         pass
 
 
-if __name__ == "__main__":
+def _run_worker(platform, timeout):
+    """Run the measurement body in a killable child; return its JSON dict
+    or None.  A child hang of ANY kind (tunnel stall in a C call, compile
+    livelock) ends in SIGKILL at `timeout`, never in a lost capture."""
+    env = dict(os.environ, CGLB_BENCH_PLATFORM=platform)
     try:
-        _arm_watchdog()
-        main()
-    except Exception as exc:  # noqa: BLE001 — graded capture must stay parsable
-        print(json.dumps({
-            "metric": "cg_matvec_tflops",
-            "value": 0.0,
-            "unit": "TFLOP/s",
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env, capture_output=True, timeout=timeout, text=True,
+        )
+        sys.stderr.write(r.stderr[-4000:])
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+    except subprocess.TimeoutExpired:
+        print(f"# worker on {platform} timed out after {timeout}s",
+              file=sys.stderr, flush=True)
+    except (OSError, json.JSONDecodeError) as exc:
+        print(f"# worker on {platform} failed: {exc}", file=sys.stderr,
+              flush=True)
+    return None
+
+
+def orchestrate():
+    """Top level of the graded capture.  The parent process NEVER touches
+    the device: it probes for a working platform (compute + readback, not
+    just enumeration) in one bounded child, runs the measurements in
+    another, and degrades to a tagged CPU run — so no tunnel failure mode
+    (init crash, init hang, readback hang, compile stall) can cost the
+    round a parsable BENCH record."""
+    platform = os.environ.get("CGLB_BENCH_PLATFORM") or _probe_platform()
+    reason = None
+    result = None
+    if platform in ("tpu", "axon"):
+        result = _run_worker(platform, timeout=1500)
+        if result is None:
+            reason = "tpu_worker_stalled"
+        elif result.get("skipped"):  # child-side exception record
+            reason = f"tpu_worker_error:{result['skipped']}"[:200]
+            result = None
+    else:
+        reason = f"tpu_probe_failed:{platform}"
+    if result is None:
+        result = _run_worker("cpu", timeout=900)
+        if result is not None:
+            result["tpu_unavailable"] = reason or True
+    if result is None:
+        result = {
+            "metric": "cg_matvec_tflops", "value": 0.0, "unit": "TFLOP/s",
             "vs_baseline": 0.0,
-            "skipped": f"{type(exc).__name__}: {exc}"[:500],
-        }))
+            "skipped": f"tpu and cpu workers both failed ({reason})",
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        try:
+            _arm_watchdog()
+            main()
+        except Exception as exc:  # noqa: BLE001 — keep the child parsable
+            print(json.dumps({
+                "metric": "cg_matvec_tflops",
+                "value": 0.0,
+                "unit": "TFLOP/s",
+                "vs_baseline": 0.0,
+                "skipped": f"{type(exc).__name__}: {exc}"[:500],
+            }))
+    else:
+        orchestrate()
