@@ -18,7 +18,8 @@ New vs reference: ``-o lbfgs`` (pure-JAX on-device L-BFGS), ``-o lbfgs_native``
 (first-party C++ driver), ``-o scipy4`` (the torch backend's 4-restart
 schedule with inducing-point freezing), ``-o scipy_tol`` (adaptive
 CG-tolerance schedule: tightens max_error 10x each time scipy converges with
-budget left — breaks the CG-slack stall, utils/training.scipy_tol_minimize),
+budget left — a refinement/plateau diagnostic, not a stall rescue; see
+PERF.md "scipy_tol showdown", utils/training.scipy_tol_minimize),
 and ``--matvec {auto,dense,streaming}``
 replacing the ``--keops`` toggle (streaming = Pallas blockwise matvec;
 ``--keops``/``--no-keops`` kept as compatible aliases).
