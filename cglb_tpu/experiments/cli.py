@@ -132,6 +132,12 @@ class _Action:
             if finite.size:
                 train_stats[f"{key}_train_mean"] = float(finite.mean())
                 train_stats[f"{key}_train_max"] = float(finite.max())
+                # the mean is dominated by line-search PROBE episodes at
+                # extreme hyperparameters (a handful of fevals with CG
+                # error ~1e4 swamp a converged value of ~0.2); the median
+                # is the audit-grade central tendency of the series
+                train_stats[f"{key}_train_median"] = float(
+                    np.median(finite))
         dump_json({**metrics_fn(), **train_stats, **meta},
                   Path(logdir, "results.json"))
         dump_json({**logger.logs, **meta}, Path(logdir, "logs.json"))

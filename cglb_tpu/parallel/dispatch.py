@@ -162,7 +162,7 @@ def bounded_train_step(cfg: _cglb.CGLBConfig, optimizer, *, mesh=None,
         return params, opt_state, loss
 
     def step(params, opt_state, v0, X, Y,
-             max_error: Optional[float] = None):
+             max_error: Optional[float] = None, chunk_callback=None):
         me = np.asarray(cfg.max_error if max_error is None else max_error,
                         dtype=np.dtype(Y.dtype))
         carry, P, err_t = _init(params, X, Y, v0)
@@ -173,6 +173,10 @@ def bounded_train_step(cfg: _cglb.CGLBConfig, optimizer, *, mesh=None,
             carry, stats = _advance(params, X, carry, P, err_t, me,
                                     np.int32(cap))
             steps_done = int(stats.steps)  # absolute count; host sync point
+            if chunk_callback is not None:
+                # per-dispatch observability: called at the host sync point
+                # after each bounded CG chunk (profiling / liveness pings)
+                chunk_callback(steps_done, stats)
             if steps_done < cap or steps_done >= cfg.max_cg_iters:
                 break
         v = carry.state.v

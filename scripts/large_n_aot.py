@@ -151,9 +151,25 @@ def main() -> None:
     if args.execute:
         state = (params, opt_state, v0)
         losses, step_walls, cg_steps = [], [], []
+        dispatch_walls = []  # bounded path: wall per CG chunk dispatch
         for i in range(args.steps):
             t0 = time.perf_counter()
-            p2, o2, aux, loss = compiled(*state, Xs, Ys)
+            if args.bounded:
+                chunk_t = [t0]
+
+                def _cb(steps_done, stats, _ts=chunk_t):
+                    now = time.perf_counter()
+                    _ts.append(now)
+                    print(f"#   chunk -> cg={steps_done} "
+                          f"({now - _ts[-2]:.2f} s)", flush=True)
+
+                p2, o2, aux, loss = compiled(*state, Xs, Ys,
+                                             chunk_callback=_cb)
+                dispatch_walls.append(
+                    [round(b - a, 2)
+                     for a, b in zip(chunk_t, chunk_t[1:])])
+            else:
+                p2, o2, aux, loss = compiled(*state, Xs, Ys)
             loss = float(loss)
             step_walls.append(round(time.perf_counter() - t0, 2))
             losses.append(round(loss, 4))
@@ -163,6 +179,10 @@ def main() -> None:
                   f"cg={cg_steps[-1]}", flush=True)
         rec["step_s"] = step_walls[0]
         rec["step_walls"] = step_walls
+        if dispatch_walls:
+            rec["dispatch_walls"] = dispatch_walls
+            rec["max_dispatch_s"] = max(
+                (w for ws in dispatch_walls for w in ws), default=None)
         rec["losses"] = losses
         rec["cg_steps"] = cg_steps
         rec["loss_finite"] = bool(np.isfinite(losses[-1]))

@@ -143,6 +143,11 @@ def test_cli_end_to_end_train_cglb(tmp_path):
     assert results["cg/steps_train_mean"] > 0
     assert results["cg/steps_train_max"] >= results["cg/steps_train_mean"]
     assert np.isfinite(results["cg/error_train_mean"])
+    # the median is the probe-robust audit stat (cli._train): bounded by
+    # the max, and finite whenever the mean is
+    assert np.isfinite(results["cg/error_train_median"])
+    assert (results["cg/steps_train_median"]
+            <= results["cg/steps_train_max"])
     logs = load_json(tmp_path / "logs.json")
     assert "loss" in logs and len(logs["loss"]) >= 1
 
