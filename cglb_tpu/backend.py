@@ -732,8 +732,10 @@ class Jax:
                 loss_fn, model.params, carry, num_steps, logger,
                 feval_stats_fn=stats_fn, data=data, sync_fn=sync_fn,
             )
-        elif optimizer == "staged" and model.kind == "gpr":
-            # reference exact-GP baseline schedule (pytorch/interface.py:326-442)
+        elif optimizer == "staged" and model.kind in ("gpr", "exactgp"):
+            # reference exact-GP baseline schedule (pytorch/interface.py:
+            # 326-442) — the schedule the reference applies to its
+            # iterative ("exactgp") arm; dense gpr accepts it too
             X, Y = model.data
             res = _training.staged_gpr_optimize(
                 loss_fn, model.params, X, Y, num_steps, logger,

@@ -176,6 +176,29 @@ def test_cli_train_cglb_streaming_matvec(tmp_path):
     assert results["elbo"] <= results["cg_lower_bound"] + 1e-5
 
 
+def test_cli_train_exactgp_staged(tmp_path):
+    """`-o staged gpr -m exactgp` routes the iterative exact-GP through the
+    reference's staged schedule (backend.optimize; this combination is the
+    paper's Iterative-GP comparison arm and regressed once by being gated
+    on kind == 'gpr' only)."""
+    from cglb_tpu.experiments.cli import main as cli_main
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_main,
+        [
+            "-b", "jax", "-t", "fp64", "-l", str(tmp_path), "-s", "0",
+            "train", "-n", "3", "-d", "synth_150x2", "-o", "staged",
+            "gpr", "-m", "exactgp", "-k", "Matern32",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    results = load_json(tmp_path / "results.json")
+    assert np.isfinite(results["lml"])
+    assert np.isfinite(results["test/rmse"])
+
+
 def test_cli_baseline(tmp_path):
     from cglb_tpu.experiments.cli import main as cli_main
 
