@@ -96,6 +96,16 @@ def load_experiments(root) -> List[ExpData]:
     return out
 
 
+def _uid_variant(uid: str) -> str:
+    """Display suffix for a uid's trailing variant tag, e.g.
+    'cglb-Matern32-fp64-M2048-adam' -> ' (adam)'.  Without it, two runs of
+    the same model/M (say scipy4 vs adam optimizer arms) would collide on
+    one legend label."""
+    m = _UID_RE.match(uid)
+    extra = (m.group("extra") if m else "").strip("-")
+    return f" ({extra})" if extra else ""
+
+
 def _resample(x, y, grid, kind: str = "spline"):
     """Resample (x, y) onto a common grid, NaN outside support (the reference
     spline-resamples onto a common time grid, plotting.py:279-396).
@@ -165,6 +175,7 @@ class Plotter:
             model = runs[0].model
             color, ls, label = MODEL_STYLE.get(model, ("k", "-", model))
             suffix = f" M={runs[0].num_inducing}" if runs[0].num_inducing else ""
+            suffix += _uid_variant(uid)
             ax.plot(grid, med, color=color, linestyle=ls, label=label + suffix)
             ax.fill_between(grid, q1, q3, color=color, alpha=0.2, linewidth=0)
         ax.set_xlabel("wall-clock time (s)" if x_axis == "elapsed_time"
@@ -197,6 +208,7 @@ class Plotter:
             model = runs[0].model
             color, ls, label = MODEL_STYLE.get(model, ("k", "-", model))
             suffix = f" M={runs[0].num_inducing}" if runs[0].num_inducing else ""
+            suffix += _uid_variant(uid)
             ax.plot(mean, alpha=0.15, color=color, linewidth=0.8)
             if smooth_std > 0 and len(mean) > 3 * smooth_std:
                 mean = gaussian_filter1d(mean, smooth_std)
