@@ -743,7 +743,18 @@ class Jax:
             )
         elif optimizer.startswith("adam"):
             lr = float(optimizer.split("_", maxsplit=1)[1])
-            if (model.dispatch_bound > 0 and model.kind in _CGLB_KINDS
+            if model.kind in ("gpr", "exactgp"):
+                # reference parity: the torch backend routes EVERY adam_*
+                # request on a GPR model through the staged exact-GP
+                # schedule with that lr (pytorch/interface.py:326-330 —
+                # `adam_lr = float(optimizer.split("_")[1])`); `-o staged`
+                # above is the alias with the schedule's default lr
+                X, Y = model.data
+                res = _training.staged_gpr_optimize(
+                    loss_fn, model.params, X, Y, num_steps, logger,
+                    adam_lr=lr, sync_fn=sync_fn,
+                )
+            elif (model.dispatch_bound > 0 and model.kind in _CGLB_KINDS
                     and not model.run_cfg.v_is_external):
                 import optax
 

@@ -199,6 +199,36 @@ def test_cli_train_exactgp_staged(tmp_path):
     assert np.isfinite(results["test/rmse"])
 
 
+def test_cli_train_exactgp_adam_routes_staged(tmp_path, monkeypatch):
+    """Reference parity: `-o adam_<lr>` on a GPR-family model runs the
+    staged exact-GP schedule with that lr (pytorch/interface.py:326-330
+    parses adam_lr from the optimizer name; the torch backend has no
+    non-staged adam path for GPR)."""
+    import cglb_tpu.utils.training as training
+    from cglb_tpu.experiments.cli import main as cli_main
+
+    seen = {}
+    orig = training.staged_gpr_optimize
+
+    def spy(loss_fn, params, X, Y, num_steps, logger=None, **kw):
+        seen["adam_lr"] = kw.get("adam_lr")
+        return orig(loss_fn, params, X, Y, num_steps, logger, **kw)
+
+    monkeypatch.setattr(training, "staged_gpr_optimize", spy)
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_main,
+        [
+            "-b", "jax", "-t", "fp64", "-l", str(tmp_path), "-s", "0",
+            "train", "-n", "2", "-d", "synth_150x2", "-o", "adam_0.01",
+            "gpr", "-m", "exactgp", "-k", "Matern32",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert seen["adam_lr"] == 0.01
+
+
 def test_cli_baseline(tmp_path):
     from cglb_tpu.experiments.cli import main as cli_main
 
