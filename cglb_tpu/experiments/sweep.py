@@ -82,22 +82,27 @@ def detect_accelerators() -> Tuple[int, str]:
     accelerator is reachable."""
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         return 0, "cpu"
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "print(len(d), d[0].platform)"],
-            capture_output=True, text=True, timeout=120,
-        )
-        n, platform = out.stdout.strip().split()[-2:]
-        n, platform = int(n), platform.lower()
-        if platform in ("tpu", "axon"):
-            return n, "tpu"
-        if platform == "gpu":
-            return n, "gpu"
-        return 0, "cpu"
-    except Exception:
-        return 0, "cpu"
+    # Two attempts: the remote-TPU tunnel re-admits slowly after a killed
+    # client (observed live: a probe 8 s after a SIGKILLed run timed out
+    # and silently demoted a whole on-chip sweep to the CPU lane).
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print(len(d), d[0].platform)"],
+                capture_output=True, text=True, timeout=150,
+            )
+            n, platform = out.stdout.strip().split()[-2:]
+            n, platform = int(n), platform.lower()
+            if platform in ("tpu", "axon"):
+                return n, "tpu"
+            if platform == "gpu":
+                return n, "gpu"
+            return 0, "cpu"
+        except Exception:
+            continue
+    return 0, "cpu"
 
 
 def compile_group_key(point: Dict) -> tuple:
