@@ -176,7 +176,11 @@ def run_sweep(grid_file, num_proc: int = 1, dry_run: bool = False,
         return 0
 
     if accel is None:
-        accel = detect_accelerators() if num_proc > 1 else (0, "cpu")
+        # ALWAYS detect, even single-worker: the lane decision not only
+        # sizes the semaphore, it selects the child env — (0, "cpu") forces
+        # JAX_PLATFORMS=cpu on every point, which silently demoted a
+        # single-worker on-chip sweep to CPU (observed live, round 5)
+        accel = detect_accelerators()
     n_accel = max(accel[0], 0)
     # accelerator lane: at most n_accel concurrent device-bound runs — on
     # this one-chip environment two TPU processes would serialize on the

@@ -235,3 +235,31 @@ def test_sweep_serializes_tpu_lane_on_one_chip(tmp_path):
     assert rc == 0
     assert state["tpu_max"] == 1, state  # serialized by construction
     assert state["cpu_max"] >= 2, state  # CPU points ran in parallel
+
+
+def test_sweep_single_worker_keeps_accelerator_lane(tmp_path):
+    """num_proc=1 must still route points to the detected accelerator lane:
+    the lane decision selects the child env, and (0, 'cpu') forces
+    JAX_PLATFORMS=cpu — which silently demoted a single-worker on-chip
+    sweep to CPU (observed live, round 5)."""
+    grid = tmp_path / "grid.toml"
+    grid.write_text(
+        '[sweep]\ncmd = "cli -l {logdir}/{name} train -n 5 leaf"\n'
+        f'logdir = "{tmp_path}/logs"\n'
+        "[sweep.grid]\nname = [\"a\"]\n"
+    )
+    lanes, envs = [], []
+
+    def runner(cmd, env, lane):
+        lanes.append(lane)
+        envs.append(env)
+        return 0
+
+    rc = run_sweep(grid, num_proc=1, runner=runner, accel=(1, "tpu"))
+    assert rc == 0
+    assert lanes == ["tpu"]
+    # the tpu lane must not ADD the cpu override (it may inherit whatever
+    # the caller's environment already says — conftest pins cpu for tests)
+    import os as _os
+    assert (envs[0].get("JAX_PLATFORMS")
+            == _os.environ.get("JAX_PLATFORMS"))
