@@ -71,6 +71,7 @@ class _Action:
     metric_dst: Optional[Path] = None
     ckpt_every: int = 0   # periodic full-state checkpoint interval (iters)
     resume: bool = False  # continue from logdir/checkpoint.json if present
+    holdout_interval: int = _HOLDOUT_INTERVAL  # metric/params logging cadence
 
     def execute(self, model_cfg, param_file: Optional[str] = None) -> None:
         backend = self.session.backend
@@ -100,7 +101,7 @@ class _Action:
             logdir,
             metrics_fn,
             lambda: backend.model_parameters(model),
-            _HOLDOUT_INTERVAL,
+            self.holdout_interval,
             include_feval_log=True,
         )
         res = backend.optimize(model, datasets, num_steps, logger,
@@ -301,11 +302,18 @@ _optimizer_choices = click.Choice(
 @click.option("--resume", is_flag=True, default=False,
               help="continue from logdir/checkpoint.json if present "
                    "(remaining step budget = num-steps - iters already done)")
+@click.option("--holdout-interval", default=_HOLDOUT_INTERVAL, type=int,
+              help="record holdout metrics + params every K optimizer "
+                   "steps (StopWatch-excluded; finer intervals give "
+                   "higher-resolution time-to-metric curves for short "
+                   "L-BFGS runs)")
 @click.pass_context
-def train(ctx, dataset, num_steps, optimizer, ckpt_every, resume):
+def train(ctx, dataset, num_steps, optimizer, ckpt_every, resume,
+          holdout_interval):
     ctx.obj = _Action(session=ctx.obj, dataset=dataset, kind="train",
                       num_steps=num_steps, optimizer=optimizer,
-                      ckpt_every=ckpt_every, resume=resume)
+                      ckpt_every=ckpt_every, resume=resume,
+                      holdout_interval=holdout_interval)
 
 
 @main.group()
