@@ -18,7 +18,8 @@ mirror() { # mirror <src-logdir> <uid>
   [ -f "$src"/model.json ] && cp "$src"/model.json "$dst"/
 }
 
-mirror runs/kin40k-2000-scipy4-r4 cglb-Matern32-fp64-M2048
+# the scipy4 uid dir is trained directly by scripts/r5_phase_d.sh with a
+# fine holdout interval; only the adam protocol run is mirrored in
 mirror runs/kin40k-2000-adam-r4  cglb-Matern32-fp64-M2048-adam
 
 mkdir -p runs/plots
