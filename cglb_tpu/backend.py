@@ -351,6 +351,8 @@ class Model:
         key = f"predict_tol{cg_tolerance}"
         joint = cfg.joint_optimization and not cfg.vzero
 
+        mixed = self.common_dtype == "mixed"
+
         def _predict(p, v0, X, Y, xs):
             if joint and p.v0 is not None:
                 v0 = p.v0.value  # the jointly-optimized v
@@ -363,9 +365,12 @@ class Model:
                 cross_matvec = lambda v: _mvp.kernel_cross_matvec(
                     p.kernel, X, xs, v
                 )
+            # mixed MUST follow the training setting: the non-mixed
+            # [M, N] emulated-fp64 trisolve OOMs a 16 GiB chip at M=4096
+            # (the batched path already passed it; this one forgot)
             return _cglb.predict_f(
                 p, X, Y, v0, xs, cfg, cg_tolerance=cg_tolerance, matvec=matvec,
-                cross_matvec=cross_matvec,
+                cross_matvec=cross_matvec, mixed=mixed,
             )
 
         fn = self._jit(key, _predict)

@@ -388,16 +388,21 @@ def predict_from_cache(params: SGPRParams, cache: PredictCache, X, Xnew,
 def predict_f(params: SGPRParams, X, Y, v0, Xnew, cfg: CGLBConfig = CGLBConfig(),
               cg_tolerance: Optional[float] = 1e-3, full_cov: bool = False,
               jitter: float = None, matvec: Optional[Callable] = None,
-              cross_matvec: Optional[Callable] = None
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              cross_matvec: Optional[Callable] = None,
+              mixed: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CGLB posterior: m(x*) = SGPR-mean-on-residual + Ks,f v.
 
     With v = 0 this is the SGPR mean; with exact v it is the exact GP mean
     (reference: tensorflow/models.py:194-246).  Composition of
     predict_prepare + predict_from_cache (batched callers hoist the prepare
-    out of the batch loop)."""
+    out of the batch loop).
+
+    mixed=True routes the one-time common terms through the gram-form
+    df32 build — REQUIRED at scale: the non-mixed [M, N] emulated-fp64
+    trisolve's temporaries blow HBM (measured: 45.4 GiB demanded at
+    M=4096, N=26800 on a 16 GiB chip, while the mixed path fits)."""
     cache = predict_prepare(params, X, Y, v0, cfg, cg_tolerance, jitter,
-                            matvec)
+                            matvec, mixed=mixed)
     return predict_from_cache(params, cache, X, Xnew, full_cov=full_cov,
                               cross_matvec=cross_matvec)
 

@@ -215,6 +215,15 @@ def test_predict_cache_matches_direct_predict(rng):
     np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_direct),
                                rtol=1e-6, atol=1e-8)
 
+    # the one-shot predict_f must plumb mixed through to the prepare —
+    # the non-mixed [M, N] emulated-fp64 trisolve OOMs a 16 GiB chip at
+    # M=4096 (observed live; the batched path passed it, this one forgot)
+    m_f, v_f = cglb.predict_f(params, X, Y, v0, Xs, cfg, mixed=True)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_m),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_m),
+                               rtol=1e-12, atol=1e-12)
+
 
 def test_kuf_weighted_matches_direct(rng):
     """kuf_weighted (chunked df32 pass) == L^-1 Kuf W / sigma, chunked and
