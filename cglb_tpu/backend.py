@@ -376,16 +376,31 @@ class Model:
         fn = self._jit(key, _predict)
         return fn(self.params, self.v0, *self.data, Xnew)
 
-    def predict_f_batched(self, Xnew, batch_size: int = 100_000,
+    def _default_predict_batch(self) -> int:
+        """Memory-aware prediction batch: the per-batch Kus build makes
+        ~[8, M, B] f32 temporaries (df32 split matmul), so B must scale
+        as 1/M — a fixed 1e5 default let a 40k-row metrics eval compile a
+        19.5 GiB program at M=4096 on a 16 GiB chip (observed live).
+        Targets ~1 GiB per temp buffer; reference batching role:
+        pytorch/interface.py:580,637."""
+        m = int(getattr(self.params, "num_inducing", 0) or 0)
+        if m <= 0:
+            return 100_000
+        return max(4096, min(100_000, (1 << 30) // (32 * m)))
+
+    def predict_f_batched(self, Xnew, batch_size: Optional[int] = None,
                           cg_tolerance: Optional[float] = 1e-3):
         """Batched posterior prediction (reference batches at 1e5/1e6 rows:
         pytorch/interface.py:580,637).  Pads the last batch so one compiled
-        program serves every batch.
+        program serves every batch.  batch_size=None uses the memory-aware
+        default (see _default_predict_batch).
 
         PredictCG-cache parity (reference pytorch/models.py:289-354): for
         CGLB/SGPR models the batch-independent work — common terms and the
         CG solve — runs EXACTLY ONCE per call and is reused by every batch;
         only the O(S) per-batch projections repeat."""
+        if batch_size is None:
+            batch_size = self._default_predict_batch()
         Xnew = jnp.asarray(Xnew)
         n = Xnew.shape[0]
         if n <= batch_size:

@@ -393,3 +393,30 @@ def test_training_graph_factorization_budget_blocked(rng, monkeypatch):
     fact = _factorization_census(rng)
     assert 1 <= len(fact["cholesky"]) <= 5, fact
     assert 1 <= len(fact["triangular_solve"]) <= 6, fact
+
+
+def test_default_predict_batch_scales_inverse_with_m(rng):
+    """The default prediction batch must scale as 1/M: the per-batch Kus
+    build makes ~[8, M, B] f32 temporaries, and a fixed 1e5 default let a
+    40k-row metrics eval compile a 19.5 GiB program at M=4096 on a 16 GiB
+    chip (observed live)."""
+    from cglb_tpu.backend import Model
+
+    X, Y, params, _ = _setup(rng, n=60, m=8)
+
+    # exercise the arithmetic directly on a lightweight stand-in
+    class _M:
+        pass
+    m = _M()
+    m.params = params  # SGPRParams with num_inducing property
+    batch = Model._default_predict_batch(m)
+    assert batch == max(4096, min(100_000, (1 << 30) // (32 * 8)))
+    # large M clamps down to the floor; missing num_inducing -> 1e5
+    class _P:
+        num_inducing = 4096
+    m.params = _P()
+    assert Model._default_predict_batch(m) == 8192
+    class _NoM:
+        pass
+    m.params = _NoM()
+    assert Model._default_predict_batch(m) == 100_000
