@@ -175,7 +175,10 @@ class Plotter:
             model = runs[0].model
             color, ls, label = MODEL_STYLE.get(model, ("k", "-", model))
             suffix = f" M={runs[0].num_inducing}" if runs[0].num_inducing else ""
-            suffix += _uid_variant(uid)
+            variant = _uid_variant(uid)
+            if variant:
+                suffix += variant
+                ls = "--"  # distinguish variant arms sharing a model color
             ax.plot(grid, med, color=color, linestyle=ls, label=label + suffix)
             ax.fill_between(grid, q1, q3, color=color, alpha=0.2, linewidth=0)
         ax.set_xlabel("wall-clock time (s)" if x_axis == "elapsed_time"
