@@ -3,13 +3,29 @@
 #   1. multi-point sweep through the sweep runner, TPU lane
 #   2. iterative exact-GP comparison arm at the reference's adam_0.01
 #   3. M=4096 protocol point end-to-end (2000 adam steps, checkpointed)
+# Each step is gated on a live tunnel probe: the remote TPU re-admits
+# slowly after a killed client, and a failed probe silently demotes the
+# sweep to its CPU lane.
 set -u
 cd /root/repo
 LOG=/tmp/r5_phase_c.log
 : > "$LOG"
 
+wait_tunnel() {
+  for i in $(seq 1 20); do
+    if timeout 150 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      echo "=== $(date +%T) tunnel OK (attempt $i) ===" | tee -a "$LOG"
+      return 0
+    fi
+    sleep 30
+  done
+  echo "=== $(date +%T) tunnel NOT reachable after 20 attempts ===" | tee -a "$LOG"
+  return 1
+}
+
 run() {
   local name=$1 tmo=$2; shift 2
+  wait_tunnel
   echo "=== $(date +%T) START $name ===" | tee -a "$LOG"
   timeout "$tmo" "$@" >> "$LOG" 2>&1
   echo "=== $(date +%T) END $name rc=$? ===" | tee -a "$LOG"
